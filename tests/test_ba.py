@@ -1,0 +1,116 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vslam_tpu.geometry import cameras, lie
+from vslam_tpu.solvers import ba
+
+PINHOLE = jnp.array([400.0, 400.0, 376.0, 240.0, 0, 0, 0, 0])
+
+
+def make_ba_problem(key, n_cams=6, n_pts=120, noise_px=0.5,
+                    perturb=0.05, K_pad=8, L_pad=160):
+    keys = jax.random.split(key, 6)
+    # cameras along a line looking at +z
+    t = jnp.stack([jnp.linspace(0, 2.0, n_cams),
+                   jnp.zeros(n_cams), jnp.zeros(n_cams)], -1)
+    small = jax.random.normal(keys[0], (n_cams, 3)) * 0.02
+    q = jax.vmap(lie.so3_exp_quat)(small)
+    poses_gt = jnp.concatenate([t, q], axis=-1)  # T_w_c
+
+    points_gt = jax.random.uniform(keys[1], (n_pts, 3),
+                                   minval=jnp.array([-3, -2, 4.0]),
+                                   maxval=jnp.array([5, 2, 9.0]))
+
+    # observations: all cams see all points
+    obs_cam, obs_point, obs_uv = [], [], []
+    for k in range(n_cams):
+        pc = lie.se3_apply(lie.se3_inv(poses_gt[k]), points_gt)
+        uv = cameras.project("pinhole", PINHOLE, pc)
+        obs_cam.append(jnp.full(n_pts, k, jnp.int32))
+        obs_point.append(jnp.arange(n_pts, dtype=jnp.int32))
+        obs_uv.append(uv)
+    obs_cam = jnp.concatenate(obs_cam)
+    obs_point = jnp.concatenate(obs_point)
+    obs_uv = jnp.concatenate(obs_uv)
+    obs_uv = obs_uv + noise_px * jax.random.normal(keys[2], obs_uv.shape)
+
+    # perturb initial estimates (keep the two gauge cams exact)
+    dpose = jax.random.normal(keys[3], (n_cams, 6)) * perturb
+    dpose = dpose.at[:2].set(0.0)
+    poses0 = jax.vmap(lie.se3_retract)(poses_gt, dpose)
+    points0 = points_gt + jax.random.normal(keys[4], points_gt.shape) * (perturb * 2)
+
+    # pad to fixed capacity
+    O = obs_uv.shape[0]
+    O_pad = O + 37
+    prob = ba.BAProblem(
+        poses=jnp.concatenate([poses0, jnp.tile(lie.identity_pose(), (K_pad - n_cams, 1))]),
+        pose_fixed=jnp.arange(K_pad) >= n_cams,  # pads fixed
+        intr=jnp.tile(PINHOLE, (K_pad, 1)),
+        points=jnp.concatenate([points0, jnp.zeros((L_pad - n_pts, 3))]),
+        point_valid=jnp.arange(L_pad) < n_pts,
+        obs_cam=jnp.concatenate([obs_cam, jnp.zeros(O_pad - O, jnp.int32)]),
+        obs_point=jnp.concatenate([obs_point, jnp.zeros(O_pad - O, jnp.int32)]),
+        obs_uv=jnp.concatenate([obs_uv, jnp.zeros((O_pad - O, 2))]),
+        obs_valid=jnp.arange(O_pad) < O,
+    )
+    # also fix first two real cameras for gauge
+    prob = prob._replace(pose_fixed=prob.pose_fixed | (jnp.arange(K_pad) < 2))
+    return prob, poses_gt, points_gt, n_cams, n_pts
+
+
+def reproj_rmse(prob, poses, points, n_obs):
+    def one(cam_i, pt_i, uv):
+        pc = lie.se3_apply(lie.se3_inv(poses[cam_i]), points[pt_i])
+        return uv - cameras.project("pinhole", prob.intr[cam_i], pc)
+
+    r = jax.vmap(one)(prob.obs_cam, prob.obs_point, prob.obs_uv)
+    r = jnp.where(prob.obs_valid[:, None], r, 0.0)
+    return float(jnp.sqrt(jnp.sum(r * r) / n_obs))
+
+
+def test_ba_converges_to_gt():
+    prob, poses_gt, points_gt, n_cams, n_pts = make_ba_problem(
+        jax.random.PRNGKey(0), noise_px=0.0)
+    poses, points, stats = ba.solve_ba_schur(prob, cam_name="pinhole")
+    assert float(stats["final_cost"]) < float(stats["initial_cost"]) * 1e-3
+    # with zero pixel noise and fixed gauge, recover GT
+    err_t = np.abs(np.asarray(poses[:n_cams, :3] - poses_gt[:, :3]))
+    assert err_t.max() < 2e-3, err_t.max()
+    err_p = np.abs(np.asarray(points[:n_pts] - points_gt))
+    assert err_p.max() < 5e-3, err_p.max()
+
+
+def test_ba_noisy_reduces_reprojection():
+    prob, poses_gt, points_gt, n_cams, n_pts = make_ba_problem(
+        jax.random.PRNGKey(1), noise_px=0.5)
+    n_obs = int(jnp.sum(prob.obs_valid))
+    rmse0 = reproj_rmse(prob, prob.poses, prob.points, n_obs)
+    poses, points, stats = ba.solve_ba_schur(prob, cam_name="pinhole")
+    rmse1 = reproj_rmse(prob, poses, points, n_obs)
+    assert rmse1 < 1.0  # ~noise level
+    assert rmse1 < rmse0 * 0.2
+
+
+def test_ba_huber_rejects_outliers():
+    prob, poses_gt, points_gt, n_cams, n_pts = make_ba_problem(
+        jax.random.PRNGKey(2), noise_px=0.3)
+    # corrupt 5% of observations badly
+    key = jax.random.PRNGKey(3)
+    n_obs = int(jnp.sum(prob.obs_valid))
+    n_bad = n_obs // 20
+    bad_idx = jax.random.choice(key, n_obs, (n_bad,), replace=False)
+    uv = prob.obs_uv.at[bad_idx].add(
+        80.0 * jax.random.normal(jax.random.PRNGKey(4), (n_bad, 2)))
+    prob = prob._replace(obs_uv=uv)
+    poses, points, stats = ba.solve_ba_schur(prob, cam_name="pinhole")
+    err_t = np.abs(np.asarray(poses[:n_cams, :3] - poses_gt[:, :3]))
+    assert err_t.max() < 0.02, err_t.max()
+
+
+def test_ba_fixed_cameras_unchanged():
+    prob, *_ = make_ba_problem(jax.random.PRNGKey(5))
+    poses, points, _ = ba.solve_ba_schur(prob, cam_name="pinhole")
+    np.testing.assert_array_equal(np.asarray(poses[0]), np.asarray(prob.poses[0]))
+    np.testing.assert_array_equal(np.asarray(poses[1]), np.asarray(prob.poses[1]))

@@ -1,0 +1,106 @@
+"""Corner detection: Shi-Tomasi (min-eigenvalue) response + NMS + top-K.
+
+TPU-native replacement for the reference's OpenCV ``goodFeaturesToTrack``
+call (/root/reference/include/visnav/keypoints.h:133-150: maxCorners=1500,
+qualityLevel=0.01, minDistance=8, blockSize=3). Instead of OpenCV's greedy
+distance suppression (a sequential, data-dependent loop), we use max-pool
+non-maximum suppression over a (2*min_distance+1)^2 window followed by a
+single ``lax.top_k`` — everything is fixed-shape, fuses into one XLA program,
+and batches over images.
+
+Corners closer than ``EDGE_THRESHOLD`` (19) px to the border are rejected,
+mirroring keypoints.h:146.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .pattern import EDGE_THRESHOLD
+
+SOBEL_X = jnp.array(
+    [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], dtype=jnp.float32
+)
+SOBEL_Y = SOBEL_X.T
+
+
+def _conv2same(img, kernel):
+    """img [H, W] f32, kernel [kh, kw] -> same-size 'SAME' conv."""
+    out = lax.conv_general_dilated(
+        img[None, None, :, :],
+        kernel[None, None, :, :],
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0, 0]
+
+
+def shi_tomasi_response(img):
+    """Min-eigenvalue corner response. img [H, W] float32 in [0, 255]."""
+    ix = _conv2same(img, SOBEL_X)
+    iy = _conv2same(img, SOBEL_Y)
+    box = jnp.ones((3, 3), dtype=jnp.float32)
+    sxx = _conv2same(ix * ix, box)
+    syy = _conv2same(iy * iy, box)
+    sxy = _conv2same(ix * iy, box)
+    # lambda_min = (sxx+syy)/2 - sqrt(((sxx-syy)/2)^2 + sxy^2)
+    half_trace = 0.5 * (sxx + syy)
+    d = 0.5 * (sxx - syy)
+    return half_trace - jnp.sqrt(d * d + sxy * sxy)
+
+
+@functools.partial(jax.jit, static_argnames=("num_features", "min_distance", "edge"))
+def detect_corners(
+    img,
+    num_features: int = 1500,
+    quality_level: float = 0.01,
+    min_distance: int = 8,
+    edge: int = EDGE_THRESHOLD,
+):
+    """Detect up to ``num_features`` Shi-Tomasi corners.
+
+    Returns (corners [K, 2] float32 (x, y), response [K] f32, valid [K] bool),
+    sorted by response descending. Invalid slots have corners (-1, -1).
+    """
+    img = img.astype(jnp.float32)
+    h, w = img.shape
+    resp = shi_tomasi_response(img)
+
+    # border mask (edge threshold): discard near-border corners
+    ys = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inb = (
+        (xs >= edge) & (xs < w - edge) & (ys >= edge) & (ys < h - edge)
+    )
+    resp = jnp.where(inb, resp, -jnp.inf)
+
+    # quality gate relative to max response
+    max_resp = jnp.max(resp)
+    resp = jnp.where(resp >= quality_level * max_resp, resp, -jnp.inf)
+
+    # max-pool NMS: keep strict local maxima in (2r+1)^2 window
+    k = 2 * min_distance + 1
+    pooled = lax.reduce_window(
+        resp,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(k, k),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+    is_max = resp >= pooled
+    resp = jnp.where(is_max, resp, -jnp.inf)
+
+    flat = resp.reshape(-1)
+    vals, idx = lax.top_k(flat, num_features)
+    yy = (idx // w).astype(jnp.float32)
+    xx = (idx % w).astype(jnp.float32)
+    valid = jnp.isfinite(vals)
+    corners = jnp.stack([xx, yy], axis=-1)
+    corners = jnp.where(valid[:, None], corners, -1.0)
+    return corners, jnp.where(valid, vals, 0.0), valid

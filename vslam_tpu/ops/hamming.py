@@ -1,0 +1,135 @@
+"""Brute-force Hamming descriptor matching on the MXU.
+
+TPU-native replacement for the reference's bitset XOR+popcount loops
+(/root/reference/include/visnav/keypoints.h:323-369 ``matchDescriptors`` and
+the guided landmark matching in vo_utils.h:83-167).
+
+Key trick: with descriptors as +/-1 vectors s = 2*bit - 1 (int8), the dot
+product satisfies  dot(sa, sb) = 256 - 2 * hamming(a, b),  so the full
+N x M distance matrix is ONE int8 matmul on the 128x128 systolic array:
+    D = (256 - A_s @ B_s^T) / 2
+instead of N*M sequential popcount loops. Threshold (70), second-best ratio
+(1.2) and mutual cross-check semantics are then fixed-shape reductions over
+the matrix, exactly mirroring the reference's accept/reject rules.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Value used for masked-out entries. The reference initializes best distances
+# to 256 (keypoints.h:334-336), so padding with 256 reproduces its semantics
+# when fewer than 2 real candidates exist.
+PAD_DIST = 256
+
+
+def signed(bits):
+    """{0,1} uint8 bits [..., 256] -> +/-1 int8."""
+    return (bits.astype(jnp.int8) * 2 - 1).astype(jnp.int8)
+
+
+def distance_matrix(bits_a, bits_b, valid_a=None, valid_b=None):
+    """Pairwise Hamming distances.
+
+    bits_a [N, 256], bits_b [M, 256] {0,1} -> [N, M] int32 distances in
+    [0, 256]. Invalid rows/cols are filled with PAD_DIST.
+    """
+    sa = signed(bits_a)
+    sb = signed(bits_b)
+    dot = lax.dot_general(
+        sa, sb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    d = (256 - dot) // 2
+    if valid_a is not None:
+        d = jnp.where(valid_a[:, None], d, PAD_DIST)
+    if valid_b is not None:
+        d = jnp.where(valid_b[None, :], d, PAD_DIST)
+    return d
+
+
+def _top2_min(d, axis):
+    """(best, second-best) minima along axis."""
+    neg = -d
+    v2, _ = lax.top_k(jnp.moveaxis(neg, axis, -1), 2)
+    return -v2[..., 0], -v2[..., 1]
+
+
+def match_table(dist, threshold: int = 70, ratio: float = 1.2):
+    """Mutual best matches with threshold + second-best ratio tests.
+
+    dist [N, M] int32 (PAD_DIST-filled where invalid). Returns
+    (match_j [N] int32 with -1 for unmatched, accepted [N] bool).
+
+    Accept (i -> j) iff, exactly as the reference's matchDescriptors +
+    isPQiffQP (keypoints.h:278-369):
+      row:    d1 < threshold  and  not(d2 < d1 * ratio)
+      column: same tests on column j, and argmin over the column == i.
+    """
+    n, m = dist.shape
+    rb1, rb2 = _top2_min(dist, axis=1)
+    row_arg = jnp.argmin(dist, axis=1)  # [N]
+    cb1, cb2 = _top2_min(dist, axis=0)
+    col_arg = jnp.argmin(dist, axis=0)  # [M]
+
+    row_ok = (rb1 < threshold) & ~(rb2.astype(jnp.float32) < rb1 * ratio)
+    j = row_arg
+    col_ok = (cb1[j] < threshold) & ~(cb2[j].astype(jnp.float32) < cb1[j] * ratio)
+    mutual = col_arg[j] == jnp.arange(n)
+    accepted = row_ok & col_ok & mutual
+    return jnp.where(accepted, j, -1), accepted
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def match_descriptors(bits_a, bits_b, valid_a, valid_b,
+                      threshold: int = 70, ratio: float = 1.2):
+    """End-to-end matcher: distance matrix + mutual ratio-tested matches."""
+    d = distance_matrix(bits_a, bits_b, valid_a, valid_b)
+    return match_table(d, threshold, ratio)
+
+
+def match_landmarks(
+    kp_bits, kp_valid, lm_bank_bits, lm_bank_valid, kp_xy, lm_proj_xy,
+    lm_valid, max_dist_2d: float = 20.0, threshold: int = 70,
+    ratio: float = 1.2,
+):
+    """Guided 2D-radius landmark matching (reference vo_utils.h:83-167).
+
+    kp_bits [N, 256], kp_xy [N, 2]; landmark descriptor banks
+    lm_bank_bits [P, B, 256] with per-slot validity [P, B]; projected
+    positions lm_proj_xy [P, 2]; lm_valid [P].
+
+    Per (keypoint, landmark) distance = min over the landmark's bank
+    (reference: min over all_obs descriptors, vo_utils.h:112-128), infinite
+    outside the 2D gate. Accept rules follow vo_utils.h:140-163: best < threshold
+    and not(second < best * ratio); when only one gated candidate exists the
+    reference compares against 256, which padding reproduces. No cross-check.
+
+    Returns (match_lm [N] int32 index into the P axis or -1, accepted [N]).
+    """
+    p, b, _ = lm_bank_bits.shape
+    flat_bits = lm_bank_bits.reshape(p * b, 256)
+    flat_valid = lm_bank_valid.reshape(p * b) & jnp.repeat(lm_valid, b)
+    d = distance_matrix(kp_bits, flat_bits, kp_valid, flat_valid)  # [N, P*B]
+    d = d.reshape(d.shape[0], p, b).min(axis=-1)  # [N, P]
+
+    # 2D gate: ||kp - proj|| < max_dist_2d
+    diff = kp_xy[:, None, :] - lm_proj_xy[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    gate = (d2 < max_dist_2d * max_dist_2d) & lm_valid[None, :] & kp_valid[:, None]
+    d = jnp.where(gate, d, PAD_DIST)
+
+    b1, b2 = _top2_min(d, axis=1)
+    arg = jnp.argmin(d, axis=1)
+    any_candidate = jnp.any(gate, axis=1)
+    ok = (
+        any_candidate
+        & (b1 < threshold)
+        & ~(b2.astype(jnp.float32) < b1 * ratio)
+    )
+    return jnp.where(ok, arg, -1), ok
