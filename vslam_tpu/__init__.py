@@ -15,3 +15,21 @@ RANSAC, and jax.sharding meshes for multi-sequence / large-map scaling.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Geometry (pose solves, SVD, normal equations) needs true f32 matmuls.
+# The platform default lowers f32 matmuls to bf16 passes (~4e-3 relative
+# error), which corrupts pose math; the hot kernels (Hamming matching) are
+# int8 and unaffected by this setting.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the pipeline is a handful of fixed-shape XLA
+# programs recompiled identically every process; cache them across runs.
+_cache_dir = _os.environ.get(
+    "VSLAM_JAX_CACHE", _os.path.expanduser("~/.cache/vslam_tpu_jax"))
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,82 @@
+"""Typed configuration: the canonical hyperparameter registry.
+
+Defaults mirror the reference's ~40 pangolin::Var tunables
+(/root/reference/src/slam.cpp:223-310) plus the solver options structs
+(map_utils.h:319-334, loop_closure_utils.h:430-436,651-663). One dataclass,
+overridable from the CLI and from JSON.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass
+class SlamConfig:
+    # --- feature extraction / matching (slam.cpp:258-266) ---
+    num_features: int = 1500           # hidden.num_features
+    rotate_features: bool = True       # hidden.rotate_features
+    match_max_dist: int = 70           # hidden.match_max_dist (Hamming)
+    match_next_best: float = 1.2       # hidden.match_next_best (ratio)
+    match_max_dist_2d: float = 20.0    # hidden.match_max_dist_2d (px gate)
+    quality_level: float = 0.01        # goodFeaturesToTrack qualityLevel
+    min_distance: int = 8              # goodFeaturesToTrack minDistance
+
+    # --- keyframing / map management (slam.cpp:268-282) ---
+    new_kf_min_inliers: int = 80       # hidden.new_kf_min_inliers
+    max_num_kfs: int = 10              # hidden.max_num_kfs (KF pairs in window)
+    cam_z_threshold: float = 0.1       # hidden.cam_z_threshold
+    motion_threshold: float = 0.5      # hidden.motion_threshold
+    num_cov_threshold: int = 10        # hidden.num_cov_threshold (covis weight)
+    num_ess_threshold: int = 30        # hidden.num_ess_threshold (essential)
+
+    # --- loop closure (slam.cpp:289-294) ---
+    enable_loop_closure: bool = True       # ui.loop_closure
+    enable_gba_after_loop: bool = True     # ui.GBA_after
+    enable_relocalization: bool = True     # ui.relocalization
+    num_consistency: int = 3               # hidden.num_consistency
+    loop_closing_time_threshold: int = 500  # hidden.loop_closing_time (frames)
+    use_sim3: bool = True                  # hidden.use_sim3
+    fixed_current_kf: bool = True          # hidden.fixed_current_kf
+
+    # --- RANSAC / BA (slam.cpp:298-309) ---
+    pnp_inlier_thresh_px: float = 3.0      # hidden.pnp_inlier_thresh
+    ba_huber_px: float = 1.0               # hidden.ba_huber_width
+    ba_max_iters: int = 20                 # BundleAdjustmentOptions
+    ba_optimize_intrinsics: bool = False
+    epipolar_error_threshold: float = 1e-3  # slam.cpp:1148
+    ransac_min_matches: int = 10           # vo_utils.h:181
+    ransac_hypotheses: int = 256           # batched-RANSAC width (TPU-native)
+    track_max_retries: int = 5             # tracking.h:87
+
+    # --- fixed capacities (TPU static shapes) ---
+    max_keyframes: int = 2048              # KF pairs over a full run
+    max_landmarks: int = 65536
+    max_inview_landmarks: int = 2048       # P: compacted projection set
+    lm_desc_bank: int = 4                  # descriptors kept per landmark
+    window_cams: int = 24                  # 2 * (max_num_kfs + slack)
+    window_points: int = 12288
+    window_obs: int = 24576
+
+    # --- BoW / place recognition ---
+    vocab_branching: int = 10              # DBoW2 k
+    vocab_depth: int = 4                   # DBoW2 L (ORBvoc uses 6)
+    bow_levels_up: int = 4                 # transform(..., levelsup=4)
+    reloc_max_candidates: int = 5          # tracking.h:214-217
+
+    # --- runtime ---
+    dtype: str = "float32"
+    seed: int = 0
+
+    @classmethod
+    def from_json(cls, path: str) -> "SlamConfig":
+        with open(path) as f:
+            data = json.load(f)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in data.items() if k in fields})
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)

@@ -1,0 +1,272 @@
+"""Keyframe insertion: stereo matching, triangulation, map growth.
+
+Implements the keyframe path of the reference's ``next_step``
+(/root/reference/src/slam.cpp:1091-1302) as pure functional updates on the
+fixed-capacity state:
+
+- stereo matching + essential-matrix epipolar inlier filter
+  (matching_utils.h:56-88, threshold 1e-3, slam.cpp:1147-1148);
+- ``add_new_landmarks`` (vo_utils.h:232-317): attach observations of
+  tracked inliers (both cams when the left feature also stereo-matched),
+  triangulate remaining stereo inliers into new landmarks with anchor
+  ``p_c``/``from_kf``;
+- covisibility counting for ``construct_visibility_graph``
+  (loop_closure_utils.h:52-96);
+- ``remove_old_keyframes`` (vo_utils.h:319-365): deactivate evicted
+  keyframes, strip their windowed observations, deactivate orphaned
+  landmarks.
+
+All updates are scatters with masks — duplicate-landmark matches collapse to
+one observation per (landmark, camera), mirroring the reference's map
+``emplace`` semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..frontend.features import Features
+from ..geometry import cameras as cam_models
+from ..geometry import lie
+from ..geometry.triangulate import triangulate_midpoint
+from ..ops import describe as describe_ops
+from ..ops import hamming
+from ..core.state import KeyframeState, LandmarkState
+
+
+def essential_from_pose(T_0_1):
+    """E = skew(normalize(t)) @ R (matching_utils.h:56-62)."""
+    t = lie.se3_t(T_0_1)
+    t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+    R = lie.quat_to_matrix(lie.se3_q(T_0_1))
+    return lie.hat(t) @ R
+
+
+@functools.partial(jax.jit, static_argnames=("cam_name", "threshold"))
+def stereo_match(
+    feats_l: Features,
+    feats_r: Features,
+    T_0_1,
+    intr0,
+    intr1,
+    cam_name: str = "ds",
+    threshold: int = 70,
+    ratio: float = 1.2,
+    epipolar_threshold: float = 1e-3,
+):
+    """Mutual descriptor matches + epipolar filter.
+
+    Returns (match_r [N] int32 right index or -1, inlier [N] bool).
+    """
+    mj, acc = hamming.match_descriptors(
+        feats_l.bits, feats_r.bits, feats_l.valid, feats_r.valid,
+        threshold=threshold, ratio=ratio,
+    )
+    E = essential_from_pose(T_0_1)
+    f0 = cam_models.unproject(cam_name, intr0, feats_l.corners)      # [N, 3]
+    f1 = cam_models.unproject(cam_name, intr1, feats_r.corners)      # [N, 3]
+    f1m = f1[jnp.clip(mj, 0)]
+    err = jnp.abs(jnp.einsum("ni,ij,nj->n", f0, E, f1m))
+    inlier = acc & (err <= epipolar_threshold)
+    return jnp.where(inlier, mj, jnp.where(acc, mj, -1)), inlier
+
+
+def _first_free(obs_kf_rows):
+    """First slot with obs_kf < 0 per row. [R, M] -> [R]."""
+    return jnp.argmax(obs_kf_rows < 0, axis=-1).astype(jnp.int32)
+
+
+def _scatter_obs(kf_tab, cam_tab, feat_tab, rows, kf_val, cam_val, feat_val,
+                 mask):
+    """Append one observation per row (at its first free slot) where mask.
+
+    Masked-out entries get an out-of-bounds row and are dropped by the
+    scatter (mode='drop'), so they can never clobber real updates.
+    Duplicate rows collapse to a single write, mirroring the reference's
+    map-emplace dedupe.
+    """
+    L = kf_tab.shape[0]
+    free = _first_free(kf_tab[jnp.clip(rows, 0)])
+    tgt = jnp.where(mask, rows, L)  # OOB -> dropped
+    kf_tab = kf_tab.at[tgt, free].set(kf_val, mode="drop")
+    cam_tab = cam_tab.at[tgt, free].set(cam_val, mode="drop")
+    feat_tab = feat_tab.at[tgt, free].set(feat_val, mode="drop")
+    return kf_tab, cam_tab, feat_tab
+
+
+def _bank_add(lm: LandmarkState, rows, bits, mask):
+    """Round-robin insert descriptors into landmark banks where mask."""
+    L, B = lm.bank_bits.shape[:2]
+    tgt = jnp.where(mask, rows, L)  # OOB -> dropped
+    cursor = lm.bank_next[jnp.clip(rows, 0)] % B
+    bank_bits = lm.bank_bits.at[tgt, cursor].set(bits, mode="drop")
+    bank_valid = lm.bank_valid.at[tgt, cursor].set(True, mode="drop")
+    bank_next = lm.bank_next.at[tgt].add(1, mode="drop")
+    return lm._replace(bank_bits=bank_bits, bank_valid=bank_valid,
+                       bank_next=bank_next)
+
+
+class KeyframeResult(NamedTuple):
+    kf: KeyframeState
+    lm: LandmarkState
+    slot: jnp.ndarray          # [] int32 new KF slot
+    covis_weight: jnp.ndarray  # [K] int32 shared-landmark counts vs left cams
+    num_new: jnp.ndarray       # [] int32 triangulated landmarks
+
+
+@functools.partial(jax.jit, static_argnames=("cam_name",))
+def insert_keyframe(
+    kf: KeyframeState,
+    lm: LandmarkState,
+    frame_id,
+    parent_slot,
+    T_w_c,                 # [7] left pose
+    T_0_1,                 # [7] stereo extrinsic
+    feats_l: Features,
+    feats_r: Features,
+    stereo_j,              # [N] right idx per left feature (-1)
+    stereo_inlier,         # [N] bool
+    match_lm,              # [N] landmark slot per left feature (-1)
+    lm_inlier,             # [N] bool localization inliers
+    intr0,
+    intr1,
+    cam_name: str = "ds",
+) -> KeyframeResult:
+    N = feats_l.corners.shape[0]
+    Lmax = lm.pos.shape[0]
+    slot = kf.next_slot
+
+    # ---------------- write keyframe record ----------------
+    T_w_c_r = lie.se3_mul(T_w_c, T_0_1)
+    corners = jnp.stack([feats_l.corners, feats_r.corners])     # [2, N, 2]
+    desc = jnp.stack([describe_ops.pack_bits(feats_l.bits),
+                      describe_ops.pack_bits(feats_r.bits)])    # [2, N, 32]
+    kp_valid = jnp.stack([feats_l.valid, feats_r.valid])
+    kf = kf._replace(
+        frame_id=kf.frame_id.at[slot].set(frame_id.astype(jnp.int32)),
+        pose_l=kf.pose_l.at[slot].set(T_w_c),
+        pose_r=kf.pose_r.at[slot].set(T_w_c_r),
+        valid=kf.valid.at[slot].set(True),
+        active=kf.active.at[slot].set(True),
+        parent=kf.parent.at[slot].set(parent_slot),
+        corners=kf.corners.at[slot].set(corners),
+        desc=kf.desc.at[slot].set(desc),
+        kp_valid=kf.kp_valid.at[slot].set(kp_valid),
+        next_slot=kf.next_slot + 1,
+    )
+
+    # ------------- attach observations of tracked inliers -------------
+    # dedupe: keep one feature per landmark (scatter; duplicate rows collapse)
+    feat_ids = jnp.arange(N, dtype=jnp.int32)
+    tracked = lm_inlier & (match_lm >= 0)
+    rows = jnp.where(tracked, match_lm, 0)
+
+    lm_obs = _scatter_obs(lm.obs_kf, lm.obs_cam, lm.obs_feat,
+                          rows, slot, 0, feat_ids, tracked)
+    lm_all = _scatter_obs(lm.all_kf, lm.all_cam, lm.all_feat,
+                          rows, slot, 0, feat_ids, tracked)
+    lm = lm._replace(obs_kf=lm_obs[0], obs_cam=lm_obs[1], obs_feat=lm_obs[2],
+                     all_kf=lm_all[0], all_cam=lm_all[1], all_feat=lm_all[2])
+    lm = _bank_add(lm, rows, feats_l.bits, tracked)
+
+    # right-cam observation when the left feature also stereo-matched
+    tracked_r = tracked & stereo_inlier & (stereo_j >= 0)
+    feat_r = jnp.where(tracked_r, stereo_j, 0)
+    lm_obs = _scatter_obs(lm.obs_kf, lm.obs_cam, lm.obs_feat,
+                          rows, slot, 1, feat_r, tracked_r)
+    lm_all = _scatter_obs(lm.all_kf, lm.all_cam, lm.all_feat,
+                          rows, slot, 1, feat_r, tracked_r)
+    lm = lm._replace(obs_kf=lm_obs[0], obs_cam=lm_obs[1], obs_feat=lm_obs[2],
+                     all_kf=lm_all[0], all_cam=lm_all[1], all_feat=lm_all[2])
+    lm = _bank_add(lm, rows, feats_r.bits[jnp.clip(stereo_j, 0)], tracked_r)
+    Lcap = lm.active.shape[0]
+    lm = lm._replace(active=lm.active.at[
+        jnp.where(tracked, rows, Lcap)].set(True, mode="drop"))
+
+    # ------------------- triangulate new landmarks -------------------
+    is_new = stereo_inlier & (stereo_j >= 0) & ~tracked & feats_l.valid
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    new_slots = lm.next_slot + rank
+    can_store = is_new & (new_slots < Lmax)
+    nrows = jnp.where(can_store, new_slots, 0)
+
+    f0 = cam_models.unproject(cam_name, intr0, feats_l.corners)
+    f1 = cam_models.unproject(cam_name, intr1,
+                              feats_r.corners[jnp.clip(stereo_j, 0)])
+    p_c, tri_ok = triangulate_midpoint(f0, f1, T_0_1)
+    can_store = can_store & tri_ok
+    p_w = lie.se3_apply(T_w_c, p_c)
+
+    m = can_store
+    tgt = jnp.where(m, nrows, Lmax)  # OOB -> dropped
+    lm = lm._replace(
+        pos=lm.pos.at[tgt].set(p_w, mode="drop"),
+        pos_c=lm.pos_c.at[tgt].set(p_c, mode="drop"),
+        from_kf=lm.from_kf.at[tgt].set(slot, mode="drop"),
+        valid=lm.valid.at[tgt].set(True, mode="drop"),
+        active=lm.active.at[tgt].set(True, mode="drop"),
+    )
+    lm_obs = _scatter_obs(lm.obs_kf, lm.obs_cam, lm.obs_feat,
+                          nrows, slot, 0, feat_ids, m)
+    lm_all = _scatter_obs(lm.all_kf, lm.all_cam, lm.all_feat,
+                          nrows, slot, 0, feat_ids, m)
+    lm = lm._replace(obs_kf=lm_obs[0], obs_cam=lm_obs[1], obs_feat=lm_obs[2],
+                     all_kf=lm_all[0], all_cam=lm_all[1], all_feat=lm_all[2])
+    lm_obs = _scatter_obs(lm.obs_kf, lm.obs_cam, lm.obs_feat,
+                          nrows, slot, 1, jnp.where(m, stereo_j, 0), m)
+    lm_all = _scatter_obs(lm.all_kf, lm.all_cam, lm.all_feat,
+                          nrows, slot, 1, jnp.where(m, stereo_j, 0), m)
+    lm = lm._replace(obs_kf=lm_obs[0], obs_cam=lm_obs[1], obs_feat=lm_obs[2],
+                     all_kf=lm_all[0], all_cam=lm_all[1], all_feat=lm_all[2])
+    lm = _bank_add(lm, nrows, feats_l.bits, m)
+    lm = _bank_add(lm, nrows, feats_r.bits[jnp.clip(stereo_j, 0)], m)
+    num_new = jnp.sum(m)
+    lm = lm._replace(next_slot=jnp.minimum(lm.next_slot + jnp.sum(is_new),
+                                           Lmax).astype(jnp.int32))
+
+    # ------------------- per-feature landmark ids -------------------
+    mp = jnp.full((N,), -1, jnp.int32)
+    mp = jnp.where(tracked, match_lm, mp)
+    mp = jnp.where(m, new_slots, mp)
+    kf = kf._replace(map_points=kf.map_points.at[slot].set(mp))
+
+    # ------------------- covisibility counting -------------------
+    # landmarks of this KF: their all_obs entries at left cams of other KFs
+    lm_ids = jnp.where(mp >= 0, mp, 0)
+    lm_mask = mp >= 0
+    # count each landmark once even if two features mapped to it
+    first_feat = jnp.full((Lmax + 1,), N, jnp.int32).at[
+        jnp.where(lm_mask, lm_ids, Lmax)].min(feat_ids, mode="drop")
+    lm_mask = lm_mask & (feat_ids == first_feat[lm_ids])
+    akf = lm.all_kf[lm_ids]        # [N, M2]
+    acam = lm.all_cam[lm_ids]
+    contrib = (akf >= 0) & (acam == 0) & (akf != slot) & lm_mask[:, None]
+    Kmax = kf.frame_id.shape[0]
+    covis = jax.ops.segment_sum(
+        contrib.reshape(-1).astype(jnp.int32),
+        jnp.clip(akf.reshape(-1), 0),
+        num_segments=Kmax,
+    )
+    return KeyframeResult(kf=kf, lm=lm, slot=slot, covis_weight=covis,
+                          num_new=num_new)
+
+
+@jax.jit
+def deactivate_keyframes(kf: KeyframeState, lm: LandmarkState, deact_mask):
+    """remove_old_keyframes (vo_utils.h:319-365) device part.
+
+    deact_mask [K] bool: keyframes leaving the window. Their windowed
+    observations are stripped; landmarks without remaining windowed obs are
+    deactivated, others activated.
+    """
+    kf = kf._replace(active=kf.active & ~deact_mask)
+    obs_gone = (lm.obs_kf >= 0) & deact_mask[jnp.clip(lm.obs_kf, 0)]
+    obs_kf = jnp.where(obs_gone, -1, lm.obs_kf)
+    has_obs = jnp.any(obs_kf >= 0, axis=-1)
+    lm = lm._replace(obs_kf=obs_kf, active=lm.valid & has_obs)
+    return kf, lm

@@ -1,0 +1,246 @@
+"""SlamSystem: the per-frame state machine (host orchestration).
+
+The TPU-native rewrite of the reference's ``next_step`` driver
+(/root/reference/src/slam.cpp:1087-1458). Device work happens in a handful
+of jitted fixed-shape programs (tracking.track_frame, keyframe.stereo_match,
+keyframe.insert_keyframe, ba_window.run_window_ba); the host owns only the
+control flow that is genuinely data-dependent: keyframe decisions, the
+motion-gate retry loop (tracking.h:87-159), window eviction order, and —
+when enabled — loop closure / relocalization orchestration.
+
+Keyframe policy (slam.cpp:1374-1377): a new keyframe is taken when the
+localization inlier count drops below ``new_kf_min_inliers``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..core import state as state_mod
+from ..frontend.features import extract_features
+from ..geometry import lie
+from ..io.calib import Calibration
+from . import ba_window, keyframe as kf_mod, tracking
+
+
+class SlamSystem:
+    def __init__(self, calib: Calibration, config: Optional[SlamConfig] = None):
+        self.cfg = config or SlamConfig()
+        cfg = self.cfg
+        self.calib = calib
+        self.cam_name = calib.cam_types[0]
+        self.width, self.height = calib.width, calib.height
+
+        dt = jnp.float32
+        self.intr0 = jnp.asarray(calib.intrinsics[0], dt)
+        self.intr1 = jnp.asarray(calib.intrinsics[1], dt)
+        T_i_c0 = jnp.asarray(calib.T_i_c[0], dt)
+        T_i_c1 = jnp.asarray(calib.T_i_c[1], dt)
+        self.T_0_1 = lie.se3_mul(lie.se3_inv(T_i_c0), T_i_c1)
+
+        self.lm = state_mod.init_landmarks(cfg.max_landmarks,
+                                           B=cfg.lm_desc_bank)
+        self.kf = state_mod.init_keyframes(cfg.max_keyframes, cfg.num_features)
+        self.track = state_mod.init_track()
+
+        import math
+
+        self.pnp_threshold = 1.0 - math.cos(
+            math.atan(cfg.pnp_inlier_thresh_px / 500.0))
+
+        # host bookkeeping
+        self.frame = 0
+        self.take_keyframe = True
+        self.last_kf_slot = -1
+        self.kf_window: List[int] = []  # frame ids currently active (pairs)
+        self.slot_of_frame = {}
+        self.covis: dict = {}           # slot -> {slot: weight}
+        self.trajectory: List[np.ndarray] = []  # per-frame T_w_c (left)
+        self.stats: List[dict] = []
+        self.tracking_ok = False
+        self._key = jax.random.PRNGKey(cfg.seed)
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _predicted_pose(self):
+        t = self.track
+        if self.cfg.enable_relocalization and self.tracking_ok:
+            return lie.se3_mul(t.current_pose, t.vel)
+        return t.current_pose
+
+    def _run_tracking(self, img_l):
+        cfg = self.cfg
+        predicted = self._predicted_pose()
+        res = tracking.track_frame(
+            self._next_key(), jnp.asarray(img_l), self.lm, predicted,
+            self.track.current_pose, self.track.vel, self.intr0,
+            cam_name=self.cam_name, num_features=cfg.num_features,
+            inview_cap=cfg.max_inview_landmarks,
+            width=self.width, height=self.height,
+            z_threshold=cfg.cam_z_threshold,
+            match_max_dist_2d=cfg.match_max_dist_2d,
+            match_threshold=cfg.match_max_dist,
+            match_ratio=cfg.match_next_best,
+            pnp_threshold=self.pnp_threshold,
+            num_hypotheses=cfg.ransac_hypotheses,
+            min_matches=cfg.ransac_min_matches,
+        )
+        return res, predicted
+
+    def _apply_motion_gate(self, res, img_l):
+        """track_camera semantics (tracking.h:57-161) incl. retry loop."""
+        cfg = self.cfg
+        if not cfg.enable_relocalization:
+            # plain localize_camera: accept PnP result
+            ok = bool(res.pnp_ok)
+            return res, ok
+        if not bool(res.pnp_ok):
+            return res, False
+        retries = 0
+        while float(res.motion_err) > cfg.motion_threshold:
+            retries += 1
+            if retries > cfg.track_max_retries:
+                return res, False
+            res, _ = self._run_tracking(img_l)
+        return res, True
+
+    def _lost_pose(self):
+        """Pose fallback when tracking fails (tracking.h:72-84,135-145)."""
+        t = self.track
+        if self.tracking_ok:
+            return lie.se3_mul(t.current_pose, t.vel)
+        return t.current_pose
+
+    # ------------------------------------------------------------------
+    def process_frame(self, img_l, img_r=None) -> dict:
+        """One next_step. img_r required on keyframe steps."""
+        cfg = self.cfg
+        frame_id = self.frame
+
+        if self.take_keyframe:
+            assert img_r is not None, "keyframe step needs the right image"
+            info = self._keyframe_step(img_l, img_r)
+        else:
+            info = self._tracking_step(img_l)
+
+        # advance (slam.cpp:1299-1301,1453-1455)
+        t = self.track
+        new_pose = t.current_pose
+        vel = lie.se3_mul(lie.se3_inv(t.last_pose), new_pose)
+        self.track = t._replace(last_pose=new_pose, vel=vel)
+        self.trajectory.append(np.asarray(new_pose))
+        self.frame += 1
+        info["frame"] = frame_id
+        self.stats.append(info)
+        return info
+
+    # ------------------------------------------------------------------
+    def _tracking_step(self, img_l) -> dict:
+        cfg = self.cfg
+        res, _ = self._run_tracking(img_l)
+        res, ok = self._apply_motion_gate(res, img_l)
+
+        if ok:
+            pose = res.T_w_c
+        else:
+            pose = self._lost_pose()
+        self.tracking_ok = ok if cfg.enable_relocalization else self.tracking_ok
+        self.track = self.track._replace(current_pose=pose)
+
+        n_inl = int(res.num_inliers) if ok else 0
+        if n_inl < cfg.new_kf_min_inliers:
+            self.take_keyframe = True
+        return {"kind": "track", "matches": int(res.num_matches),
+                "inliers": n_inl, "ok": ok}
+
+    # ------------------------------------------------------------------
+    def _keyframe_step(self, img_l, img_r) -> dict:
+        cfg = self.cfg
+        self.take_keyframe = False
+
+        res, _ = self._run_tracking(img_l)
+        res, ok = self._apply_motion_gate(res, img_l)
+        if ok or not cfg.enable_relocalization:
+            pose = res.T_w_c if bool(res.pnp_ok) else self._lost_pose()
+        else:
+            pose = self._lost_pose()
+        if cfg.enable_relocalization:
+            self.tracking_ok = ok
+
+        feats_r = extract_features(jnp.asarray(img_r),
+                                   num_features=cfg.num_features)
+        stereo_j, stereo_inl = kf_mod.stereo_match(
+            res.feats, feats_r, self.T_0_1, self.intr0, self.intr1,
+            cam_name=self.cam_name, threshold=cfg.match_max_dist,
+            ratio=cfg.match_next_best,
+            epipolar_threshold=cfg.epipolar_error_threshold,
+        )
+
+        out = kf_mod.insert_keyframe(
+            self.kf, self.lm, jnp.asarray(self.frame, jnp.int32),
+            jnp.asarray(self.last_kf_slot, jnp.int32), pose, self.T_0_1,
+            res.feats, feats_r, stereo_j, stereo_inl,
+            res.match_lm, res.inlier, self.intr0, self.intr1,
+            cam_name=self.cam_name,
+        )
+        self.kf, self.lm = out.kf, out.lm
+        slot = int(out.slot)
+        self.slot_of_frame[self.frame] = slot
+
+        # covisibility edges (construct_visibility_graph, threshold 10)
+        w = np.asarray(out.covis_weight)
+        edges = {int(s): int(w[s]) for s in np.nonzero(
+            w >= cfg.num_cov_threshold)[0] if s != slot}
+        self.covis[slot] = edges
+        for s, wt in edges.items():
+            self.covis.setdefault(s, {})[slot] = wt
+
+        # window management (remove_old_keyframes)
+        self.kf_window.append(self.frame)
+        deact = []
+        while len(self.kf_window) > cfg.max_num_kfs:
+            old = self.kf_window.pop(0)
+            deact.append(self.slot_of_frame[old])
+        if deact:
+            mask = np.zeros(cfg.max_keyframes, bool)
+            mask[deact] = True
+            self.kf, self.lm = kf_mod.deactivate_keyframes(
+                self.kf, self.lm, jnp.asarray(mask))
+
+        # windowed BA (optimize(), synchronous for now)
+        self.kf, self.lm, ba_stats = ba_window.run_window_ba(
+            self.kf, self.lm, self.intr0, self.intr1,
+            cam_name=self.cam_name, huber=cfg.ba_huber_px,
+            max_iters=cfg.ba_max_iters,
+            W2=cfg.window_cams // 2, Lw=cfg.window_points, O=cfg.window_obs,
+        )
+
+        # current pose = optimized KF pose (slam.cpp:1291)
+        pose = self.kf.pose_l[slot]
+        self.track = self.track._replace(current_pose=pose)
+        self.last_kf_slot = slot
+
+        return {"kind": "keyframe", "slot": slot,
+                "matches": int(res.num_matches),
+                "inliers": int(res.num_inliers),
+                "stereo_inliers": int(jnp.sum(stereo_inl)),
+                "new_landmarks": int(out.num_new),
+                "ba_final_cost": float(ba_stats["final_cost"]), "ok": ok}
+
+    # ------------------------------------------------------------------
+    def keyframe_trajectory(self):
+        """(frame_ids, positions) of keyframe left cams, for ATE."""
+        valid = np.asarray(self.kf.valid)
+        fids = np.asarray(self.kf.frame_id)[valid]
+        poses = np.asarray(self.kf.pose_l)[valid]
+        order = np.argsort(fids)
+        return fids[order], poses[order][:, :3], poses[order]

@@ -1,0 +1,200 @@
+"""Synthetic stereo sequences with exact ground truth.
+
+The reference is only verifiable against EuRoC downloads it cannot ship
+(data/download_dataset.sh); for hermetic end-to-end tests we render a
+synthetic world instead: textured point landmarks splatted into stereo
+images along a smooth trajectory, with the generating poses as ground
+truth. This exercises the full pipeline (detection, description, stereo
+matching, triangulation, PnP tracking, BA) and lets tests assert real ATE
+numbers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from .geometry import lie as _lie
+from .io.calib import Calibration
+
+# pure-numpy pose helpers (no jax dependency for data generation)
+
+
+def _quat_rotate_np(q, v):
+    qv, qw = q[..., :3], q[..., 3:4]
+    uv = np.cross(qv, v)
+    uuv = np.cross(qv, uv)
+    return v + 2.0 * (qw * uv + uuv)
+
+
+def _se3_apply_np(T, p):
+    return _quat_rotate_np(T[..., 3:7], p) + T[..., :3]
+
+
+def _se3_inv_np(T):
+    q = T[3:7] * np.array([-1.0, -1, -1, 1])
+    t = -_quat_rotate_np(q, T[:3])
+    return np.concatenate([t, q])
+
+
+def _yaw_quat(theta):
+    return np.array([0.0, np.sin(theta / 2), 0.0, np.cos(theta / 2)])
+
+
+@dataclasses.dataclass
+class SyntheticSequence:
+    images: List[Tuple[np.ndarray, np.ndarray]]  # [(left, right)] uint8
+    poses: np.ndarray        # [F, 7] T_w_c of left cam (ground truth)
+    timestamps: np.ndarray   # [F] int64 ns
+    calib: Calibration
+    points: np.ndarray       # [P, 3] world landmarks
+
+
+def make_calib(width=320, height=240) -> Calibration:
+    fx = fy = 220.0
+    intr = np.array([
+        [fx, fy, width / 2, height / 2, 0, 0, 0, 0],
+        [fx, fy, width / 2, height / 2, 0, 0, 0, 0],
+    ])
+    T_i_c = np.array([
+        [0, 0, 0, 0, 0, 0, 1.0],
+        [0.11, 0, 0, 0, 0, 0, 1.0],   # 11 cm stereo baseline (EuRoC-like)
+    ])
+    return Calibration(T_i_c=T_i_c, intrinsics=intr,
+                       cam_types=["pinhole", "pinhole"],
+                       width=width, height=height)
+
+
+def _project_pinhole_np(intr, p):
+    fx, fy, cx, cy = intr[:4]
+    z = np.maximum(p[..., 2], 1e-6)
+    return np.stack([fx * p[..., 0] / z + cx, fy * p[..., 1] / z + cy], -1)
+
+
+def _splat(img, uv, intensity, rng):
+    """Draw a small textured blob (5x5 random-but-fixed pattern per point)."""
+    h, w = img.shape
+    x, y = int(round(uv[0])), int(round(uv[1]))
+    if x < 4 or y < 4 or x >= w - 4 or y >= h - 4:
+        return
+    img[y - 2:y + 3, x - 2:x + 3] = intensity
+
+
+def generate(
+    num_frames: int = 40,
+    num_points: int = 600,
+    width: int = 320,
+    height: int = 240,
+    motion: str = "arc",
+    seed: int = 0,
+) -> SyntheticSequence:
+    rng = np.random.RandomState(seed)
+    calib = make_calib(width, height)
+
+    # landmarks: a corridor of points in front of the trajectory
+    points = np.stack([
+        rng.uniform(-6, 10, num_points),
+        rng.uniform(-3, 3, num_points),
+        rng.uniform(2.0, 14.0, num_points),
+    ], axis=-1)
+    # per-point texture patches, high contrast. Must be larger than the
+    # BRIEF tap radius fraction so descriptors of the same landmark agree
+    # across views (the constant background makes out-of-patch taps equal).
+    PR = 7  # patch radius -> 15x15
+    patches = rng.randint(60, 195, (num_points, 2 * PR + 1, 2 * PR + 1)).astype(
+        np.float64)
+    # superimpose a strong linear ramp along a per-landmark direction so the
+    # intensity-centroid orientation (keypoints.h:171-184) is stable across
+    # views (random textures alone have a near-zero, flip-prone moment).
+    theta = rng.uniform(0, 2 * np.pi, num_points)
+    gy, gx = np.mgrid[-PR:PR + 1, -PR:PR + 1]
+    ramp = (np.cos(theta)[:, None, None] * gx +
+            np.sin(theta)[:, None, None] * gy) / PR * 55.0
+    patches = patches + ramp
+    # band-limit the texture (3x3 box blur, twice) so a +/-1 px corner
+    # localization difference between views flips few descriptor bits —
+    # real images are band-limited; per-pixel white noise is not.
+    for _ in range(2):
+        p = np.pad(patches, ((0, 0), (1, 1), (1, 1)), mode="edge")
+        patches = (
+            p[:, :-2, :-2] + p[:, :-2, 1:-1] + p[:, :-2, 2:] +
+            p[:, 1:-1, :-2] + p[:, 1:-1, 1:-1] + p[:, 1:-1, 2:] +
+            p[:, 2:, :-2] + p[:, 2:, 1:-1] + p[:, 2:, 2:]) / 9.0
+    patches = np.clip(patches, 0, 255).astype(np.uint8)
+    # plant a strong checkerboard corner at the exact center of every patch
+    # so detection localizes the same pixel in both views; the random outer
+    # texture keeps descriptors distinctive between landmarks.
+    dark = rng.randint(0, 50, (num_points, 2))
+    bright = rng.randint(205, 255, (num_points, 2))
+    c = PR
+    for i in range(num_points):
+        # quadrants meet at the CENTER PIXEL (row/col c stays texture) so
+        # the corner response peaks on-pixel identically in both views
+        patches[i, c - 3:c, c - 3:c] = dark[i, 0]
+        patches[i, c + 1:c + 4, c + 1:c + 4] = dark[i, 1]
+        patches[i, c - 3:c, c + 1:c + 4] = bright[i, 0]
+        patches[i, c + 1:c + 4, c - 3:c] = bright[i, 1]
+
+    # trajectory: slow forward arc with gentle yaw
+    poses = np.zeros((num_frames, 7))
+    for f in range(num_frames):
+        s = f / max(num_frames - 1, 1)
+        # EuRoC-like speeds: a few cm per frame so guided matching's 20 px
+        # gate holds (the reference relies on the same assumption)
+        if motion == "arc":
+            t = np.array([0.8 * s, 0.15 * np.sin(2 * np.pi * s), 1.1 * s])
+            yaw = 0.12 * np.sin(2 * np.pi * s)
+        else:  # straight
+            t = np.array([0.0, 0.0, 1.2 * s])
+            yaw = 0.0
+        poses[f] = np.concatenate([t, _yaw_quat(yaw)])
+
+    T_0_1 = np.concatenate([calib.T_i_c[1][:3], calib.T_i_c[1][3:]])
+
+    images = []
+    for f in range(num_frames):
+        T_w_c = poses[f]
+        T_c_w = _se3_inv_np(T_w_c)
+        frame_imgs = []
+        for cam in range(2):
+            if cam == 0:
+                T = T_c_w
+            else:
+                T = np.asarray(
+                    _se3_inv_np(np.asarray(
+                        _compose_np(T_w_c, T_0_1))))
+            pc = _se3_apply_np(T[None, :], points)
+            uv = _project_pinhole_np(calib.intrinsics[cam], pc)
+            img = np.full((height, width), 100, dtype=np.uint8)
+            order = np.argsort(-pc[:, 2])  # far first, near overwrites
+            for i in order:
+                if pc[i, 2] < 0.5:
+                    continue
+                x, y = int(round(uv[i, 0])), int(round(uv[i, 1]))
+                if (x < PR + 1 or y < PR + 1 or x >= width - PR - 1
+                        or y >= height - PR - 1):
+                    continue
+                img[y - PR:y + PR + 1, x - PR:x + PR + 1] = patches[i]
+            frame_imgs.append(img)
+        images.append((frame_imgs[0], frame_imgs[1]))
+
+    timestamps = (np.arange(num_frames) * 50_000_000).astype(np.int64)  # 20 fps
+    return SyntheticSequence(images=images, poses=poses,
+                             timestamps=timestamps, calib=calib,
+                             points=points)
+
+
+def _compose_np(T1, T2):
+    q1, q2 = T1[3:7], T2[3:7]
+    x1, y1, z1, w1 = q1
+    x2, y2, z2, w2 = q2
+    q = np.array([
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+    ])
+    t = T1[:3] + _quat_rotate_np(q1, T2[:3])
+    return np.concatenate([t, q])
