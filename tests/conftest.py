@@ -1,15 +1,24 @@
 """Test harness config: force CPU platform with 8 virtual devices so
-multi-chip sharding tests run without TPU hardware, before jax initializes.
+multi-chip sharding tests run without TPU hardware.
+
+The container's sitecustomize registers the axon TPU backend at interpreter
+start and presets JAX_PLATFORMS=axon, so a plain setdefault is not enough —
+force the platform both via env (for subprocesses) and jax.config (the
+backend is registered but not yet initialized at conftest import time).
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

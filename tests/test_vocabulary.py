@@ -1,0 +1,65 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vslam_tpu.loop import vocabulary as vm
+
+
+@pytest.fixture(scope="module")
+def voc():
+    rng = np.random.RandomState(0)
+    descs = rng.randint(0, 2, (3000, 256)).astype(np.uint8)
+    return vm.train(descs, k=6, depth=3, seed=1), descs
+
+
+def test_train_structure(voc):
+    v, _ = voc
+    assert v.num_words > 50
+    # children valid, parents consistent
+    for node in range(1, len(v.parent)):
+        p = v.parent[node]
+        assert node in list(v.children[p])
+    assert (v.word_of_node[v.node_of_word] == np.arange(v.num_words)).all()
+
+
+def test_transform_device_matches_numpy(voc):
+    v, descs = voc
+    dv = vm.DeviceVocabulary(v)
+    test = descs[:128]
+    w_np, _ = vm.transform_np(v, test)
+    w_dev = np.asarray(dv.words(jnp.asarray(test), jnp.ones(128, bool)))
+    assert (w_np == w_dev).mean() > 0.99  # tie-breaking may differ rarely
+
+
+def test_bow_and_score(voc):
+    v, descs = voc
+    w1, _ = vm.transform_np(v, descs[:200])
+    w2, _ = vm.transform_np(v, descs[:200])  # identical image
+    w3, _ = vm.transform_np(v, descs[1000:1200])
+    b1 = vm.bow_from_words(v, w1)
+    b2 = vm.bow_from_words(v, w2)
+    b3 = vm.bow_from_words(v, w3)
+    assert abs(sum(b1.values()) - 1.0) < 1e-6  # L1-normalized
+    s_same = vm.l1_score(b1, b2)
+    s_diff = vm.l1_score(b1, b3)
+    assert s_same > 0.999
+    assert s_diff < s_same
+
+
+def test_dbow2_text_roundtrip(tmp_path, voc):
+    v, descs = voc
+    path = str(tmp_path / "voc.txt")
+    vm.save_dbow2_text(v, path)
+    v2 = vm.load_dbow2_text(path)
+    assert v2.k == v.k and v2.num_words == v.num_words
+    w1, _ = vm.transform_np(v, descs[:100])
+    w2, _ = vm.transform_np(v2, descs[:100])
+    assert (w1 == w2).all()
+
+
+def test_idf_weights(voc):
+    v, descs = voc
+    imgs = [descs[i * 300:(i + 1) * 300] for i in range(10)]
+    vm.set_idf_weights(v, imgs)
+    assert np.all(v.weights >= 0)
+    assert v.weights.max() > 0

@@ -1,0 +1,112 @@
+"""Command-line SLAM driver.
+
+API-compatible with the reference executable's flags
+(/root/reference/src/slam.cpp:346-362):
+  --dataset-path  EuRoC directory (mav0 layout or the flat sample layout)
+  --cam-calib     calibration JSON (cereal schema)
+  --voc-path      optional DBoW2 text vocabulary (else trained online)
+  --map-name      output map artifact (cereal-JSON layout, load_map.py ready)
+  --show-gui      accepted for compatibility (headless; prints progress)
+
+plus framework extras: --config (SlamConfig JSON), --max-frames, --no-loop,
+--no-reloc, --metrics (JSONL per-frame metrics).
+
+Usage: python -m vslam_tpu.cli --dataset-path ... --cam-calib ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="vslam_tpu stereo SLAM")
+    p.add_argument("--dataset-path", required=True)
+    p.add_argument("--cam-calib", required=True)
+    p.add_argument("--voc-path", default="")
+    p.add_argument("--map-name", default="map")
+    p.add_argument("--show-gui", action="store_true")
+    p.add_argument("--config", default="")
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--no-loop", action="store_true")
+    p.add_argument("--no-reloc", action="store_true")
+    p.add_argument("--metrics", default="")
+    args = p.parse_args(argv)
+
+    from .config import SlamConfig
+    from .eval import ate as ate_mod
+    from .io import calib as calib_mod
+    from .io import euroc, map_io
+    from .pipeline.slam import SlamSystem
+
+    cfg = SlamConfig.from_json(args.config) if args.config else SlamConfig()
+    if args.no_loop:
+        cfg.enable_loop_closure = False
+    if args.no_reloc:
+        cfg.enable_relocalization = False
+
+    calib = calib_mod.load_calibration(args.cam_calib)
+    seq = euroc.load_sequence(args.dataset_path)
+    n = seq.num_frames if args.max_frames <= 0 else min(
+        seq.num_frames, args.max_frames)
+    print(f"Loaded {seq.num_frames} image pairs "
+          f"({'with' if seq.gt_positions is not None else 'no'} ground truth)",
+          file=sys.stderr)
+
+    slam = SlamSystem(calib, cfg)
+    if args.voc_path:
+        from .loop import vocabulary as vocab_mod
+
+        slam.voc = vocab_mod.load_dbow2_text(args.voc_path)
+        slam.device_voc = vocab_mod.DeviceVocabulary(slam.voc)
+        print(f"Loaded vocabulary: {slam.voc.num_words} words",
+              file=sys.stderr)
+
+    metrics_f = open(args.metrics, "w") if args.metrics else None
+    pf = euroc.Prefetcher(seq.image_paths[:n], depth=8, workers=2)
+    t0 = time.perf_counter()
+    for i in range(n):
+        img_l, img_r = pf.get(i)
+        t_frame = time.perf_counter()
+        info = slam.process_frame(img_l, img_r)
+        info["ms"] = round(1000 * (time.perf_counter() - t_frame), 2)
+        if metrics_f:
+            metrics_f.write(json.dumps(info) + "\n")
+        if info["kind"] == "keyframe" or i % 50 == 0:
+            print(f"[{i}/{n}] {info}", file=sys.stderr)
+    elapsed = time.perf_counter() - t0
+    print(f"Processed {n} frames in {elapsed:.1f}s ({n / elapsed:.1f} fps)",
+          file=sys.stderr)
+    if metrics_f:
+        metrics_f.close()
+
+    # evaluation (align_svd button equivalent, slam.cpp:1712-1722)
+    fids, est_pos, est_poses = slam.keyframe_trajectory()
+    ate_val = float("nan")
+    gt_out = np.zeros((0, 3))
+    if seq.gt_positions is not None and len(fids) >= 3:
+        est_t_ns = seq.timestamps[fids]
+        ate_val = ate_mod.ate_rmse(est_t_ns, est_pos, seq.gt_timestamps,
+                                   seq.gt_positions)
+        gt_out = seq.gt_positions
+        print(f"ATE RMSE: {ate_val:.3f} m over {len(fids)} keyframes",
+              file=sys.stderr)
+
+    lm_valid = np.asarray(slam.lm.valid)
+    lm_pos = np.asarray(slam.lm.pos)
+    cams = [((int(f), 0), est_poses[i]) for i, f in enumerate(fids)]
+    lms = [(int(i), lm_pos[i]) for i in np.nonzero(lm_valid)[0]]
+    out = f"{args.map_name}.json"
+    map_io.save_map(out, cams, lms, est_pos, gt_out, ate_val)
+    print(f"Saved map as {out} ({len(cams)} cameras, {len(lms)} landmarks)",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,10 +34,16 @@ def _project_pinhole(params, p):
     return jnp.stack([fx * x / zs + cx, fy * y / zs + cy], axis=-1)
 
 
+def _safe_sqrt(x):
+    # max() keeps the sqrt gradient finite at 0 (NaN Jacobians of padded /
+    # degenerate points would otherwise survive zero-weighting: NaN * 0 = NaN)
+    return jnp.sqrt(jnp.maximum(x, 1e-18))
+
+
 def _project_eucm(params, p):
     fx, fy, cx, cy, alpha, beta = (params[..., i] for i in range(6))
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    d = jnp.sqrt(beta * (x * x + y * y) + z * z)
+    d = _safe_sqrt(beta * (x * x + y * y) + z * z)
     denom = alpha * d + (1.0 - alpha) * z
     denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
     return jnp.stack([fx * x / denom + cx, fy * y / denom + cy], axis=-1)
@@ -46,9 +52,9 @@ def _project_eucm(params, p):
 def _project_ds(params, p):
     fx, fy, cx, cy, xi, alpha = (params[..., i] for i in range(6))
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    d1 = jnp.sqrt(x * x + y * y + z * z)
+    d1 = _safe_sqrt(x * x + y * y + z * z)
     zz = xi * d1 + z
-    d2 = jnp.sqrt(x * x + y * y + zz * zz)
+    d2 = _safe_sqrt(x * x + y * y + zz * zz)
     denom = alpha * d2 + (1.0 - alpha) * zz
     denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
     return jnp.stack([fx * x / denom + cx, fy * y / denom + cy], axis=-1)
@@ -57,7 +63,7 @@ def _project_ds(params, p):
 def _project_kb4(params, p):
     fx, fy, cx, cy, k1, k2, k3, k4 = (params[..., i] for i in range(8))
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    r = jnp.sqrt(x * x + y * y)
+    r = _safe_sqrt(x * x + y * y)
     theta = jnp.arctan2(r, z)
     t2 = theta * theta
     d = theta * (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))

@@ -1,0 +1,232 @@
+"""Loop closure execution: Sim(3)-style correction, essential-graph
+optimization, map update.
+
+Host orchestration of the reference's loop-closure path with device calls
+for the heavy work:
+
+- ``compute_sim3`` (sim3.h:228-359): harvest 2D-3D correspondences between
+  the current keyframe's features and the map points of the loop candidate
+  + its covisible neighbors (dedup by landmark and feature), then RANSAC
+  PnP; the correction is the SE3 ``sim3 = T_w_cand^-1 * T_w_cur_measured``
+  with the ||log||_1 <= 5 sanity gate and bounded retries (stereo fixes
+  scale, hence SE3 rather than full Sim3 — same as the reference).
+- ``loop_align`` (loop_closure_utils.h:398-415): re-pose the current KF's
+  covisible neighbors from the measured relative poses and the corrected
+  current pose; stereo pairs follow.
+- essential-graph pose optimization (loop_closure_utils.h:446-587) via
+  solvers.pose_graph: spanning-tree edges (post-align measurements),
+  covisibility edges with weight > essential_threshold (pre-align
+  measurements — the reference uses its cached covisible_rel_poses, which
+  are refreshed at every BA merge, i.e. pre-align values), and the loop
+  edge log(sim3^-1); current KF fixed.
+- ``update_stereo_pair`` / ``update_landmark_position``
+  (loop_closure_utils.h:594-622): right cams re-derived from left * T_0_1,
+  landmarks re-anchored via p_c and from_kf.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.state import KeyframeState, LandmarkState
+from ..geometry import cameras as cam_models
+from ..geometry import lie
+from ..ops import describe as describe_ops
+from ..solvers import pnp, pose_graph
+from . import matching
+
+
+def _pow2(n: int, lo: int = 16) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+def harvest_correspondences(
+    kf: KeyframeState,
+    lm: LandmarkState,
+    cur_bits,
+    cur_valid,
+    source_slots: Sequence[int],
+    cur_slot: int = -1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(landmark ids, current-feature ids) harvested over source keyframes.
+
+    Mirrors sim3.h:244-301 / tracking.h:283-338: match current descriptors
+    against each source KF, then map matched source features to landmarks
+    via that KF's map_points; dedupe by landmark and by current feature.
+    ``cur_bits/cur_valid`` are the current image's descriptors — a stored
+    keyframe's (loop closure) or a live frame's (relocalization).
+    """
+    used_landmarks: Set[int] = set()
+    used_features: Set[int] = set()
+    lms: List[int] = []
+    feats: List[int] = []
+    for s in source_slots:
+        if s == cur_slot:
+            continue
+        m = np.asarray(matching.match_vs_keyframe(
+            cur_bits, cur_valid, kf, jnp.asarray(s), 0))
+        mp = np.asarray(kf.map_points[s])
+        for f in np.nonzero((m >= 0) & (mp >= 0))[0]:
+            tid, cf = int(mp[f]), int(m[f])
+            if tid in used_landmarks or cf in used_features:
+                continue
+            used_landmarks.add(tid)
+            used_features.add(cf)
+            lms.append(tid)
+            feats.append(cf)
+    return np.asarray(lms, np.int64), np.asarray(feats, np.int64)
+
+
+def compute_sim3(
+    kf: KeyframeState,
+    lm: LandmarkState,
+    cur_slot: int,
+    cand_slot: int,
+    cand_neighbors: Sequence[int],
+    intr0,
+    cam_name: str,
+    pnp_threshold: float,
+    key,
+    num_hypotheses: int = 256,
+    max_retries: int = 10,
+):
+    """Returns (ok, sim3 [7]) — sim3 = T_w_cand^-1 * T_w_cur_measured."""
+    cur_bits = describe_ops.unpack_bits(kf.desc[cur_slot, 0])
+    cur_valid = kf.kp_valid[cur_slot, 0]
+    lms, feats = harvest_correspondences(
+        kf, lm, cur_bits, cur_valid, [cand_slot, *cand_neighbors],
+        cur_slot=cur_slot)
+    if len(lms) < 5:
+        return False, None
+
+    cap = _pow2(len(lms))
+    points = np.zeros((cap, 3), np.float32)
+    bearings = np.zeros((cap, 3), np.float32)
+    points[:len(lms)] = np.asarray(lm.pos)[lms]
+    corners = np.asarray(kf.corners[cur_slot, 0])[feats]
+    bearings[:len(lms)] = np.asarray(cam_models.unproject(
+        cam_name, intr0, jnp.asarray(corners)))
+    valid = np.arange(cap) < len(lms)
+
+    T_cand_inv = lie.se3_inv(kf.pose_l[cand_slot])
+    for _ in range(max_retries + 1):
+        key, k = jax.random.split(key)
+        T_wc, inl, n, ok = pnp.ransac_pnp(
+            k, jnp.asarray(points), jnp.asarray(bearings), jnp.asarray(valid),
+            pnp_threshold, num_hypotheses=num_hypotheses)
+        sim3 = lie.se3_mul(T_cand_inv, T_wc)
+        trans_l1 = float(jnp.sum(jnp.abs(lie.se3_log(sim3)[:3])))
+        if trans_l1 <= 5.0:
+            return True, sim3
+    return False, None
+
+
+@jax.jit
+def _apply_poses(kf: KeyframeState, lm: LandmarkState, new_left, T_0_1):
+    """Write optimized left poses; rederive right cams and landmarks."""
+    kf = kf._replace(
+        pose_l=jnp.where(kf.valid[:, None], new_left, kf.pose_l))
+    kf = kf._replace(
+        pose_r=jnp.where(kf.valid[:, None],
+                         jax.vmap(lambda T: lie.se3_mul(T, T_0_1))(kf.pose_l),
+                         kf.pose_r))
+    anchor = jnp.clip(lm.from_kf, 0)
+    p = jax.vmap(lie.se3_apply)(kf.pose_l[anchor], lm.pos_c)
+    lm = lm._replace(pos=jnp.where(lm.valid[:, None], p, lm.pos))
+    return kf, lm
+
+
+def loop_closure(
+    kf: KeyframeState,
+    lm: LandmarkState,
+    cur_slot: int,
+    cand_slot: int,
+    sim3,
+    covis: Dict[int, Dict[int, int]],
+    T_0_1,
+    essential_threshold: int = 30,
+    fixed_current: bool = True,
+    huber: float = 1.0,
+    max_iters: int = 20,
+):
+    """Align + pose graph + stereo/landmark update. Returns (kf, lm, stats)."""
+    n_kf = int(kf.next_slot)
+    poses_pre = np.asarray(kf.pose_l)  # pre-align snapshot (measurements)
+
+    # ---- loop_align: re-pose current KF's covisible neighbors ----
+    T_cur_pre = jnp.asarray(poses_pre[cur_slot])
+    T_cur_aligned = lie.se3_mul(kf.pose_l[cand_slot], sim3)
+    pose_l = kf.pose_l
+    pose_r = kf.pose_r
+    for nbr in covis.get(cur_slot, {}):
+        rel = lie.se3_mul(lie.se3_inv(T_cur_pre),
+                          jnp.asarray(poses_pre[nbr]))
+        T_nbr = lie.se3_mul(T_cur_aligned, rel)
+        pose_l = pose_l.at[nbr].set(T_nbr)
+        pose_r = pose_r.at[nbr].set(lie.se3_mul(T_nbr, T_0_1))
+    kf = kf._replace(pose_l=pose_l, pose_r=pose_r)
+    poses_post = np.asarray(kf.pose_l)
+
+    # ---- assemble the essential graph ----
+    parent = np.asarray(kf.parent)
+    edges_i, edges_j, meas = [], [], []
+
+    def log_rel(Ti, Tj):
+        return np.asarray(lie.se3_log(lie.se3_mul(
+            lie.se3_inv(jnp.asarray(Ti)), jnp.asarray(Tj))))
+
+    for i in range(n_kf):
+        p = int(parent[i])
+        if p < 0:
+            continue
+        if covis.get(i, {}).get(p, 0) > essential_threshold:
+            continue  # covered by the essential edge below
+        edges_i.append(i)
+        edges_j.append(p)
+        meas.append(log_rel(poses_post[i], poses_post[p]))  # post-align
+    for i in range(n_kf):
+        for j, w in covis.get(i, {}).items():
+            if w > essential_threshold and i < j < n_kf:
+                edges_i.append(i)
+                edges_j.append(j)
+                meas.append(log_rel(poses_pre[i], poses_pre[j]))  # pre-align
+    # loop edge: log(sim3^-1) between current and candidate
+    edges_i.append(cur_slot)
+    edges_j.append(cand_slot)
+    meas.append(np.asarray(lie.se3_log(lie.se3_inv(sim3))))
+
+    E = len(edges_i)
+    K = _pow2(n_kf)
+    E_pad = _pow2(E)
+    prob = pose_graph.PoseGraphProblem(
+        poses=jnp.asarray(
+            np.concatenate([poses_post[:n_kf],
+                            np.tile(np.asarray(lie.identity_pose()),
+                                    (K - n_kf, 1))]).astype(np.float32)),
+        fixed=jnp.asarray(
+            (np.arange(K) >= n_kf)
+            | (np.arange(K) == (cur_slot if fixed_current else -1))),
+        edge_i=jnp.asarray(np.pad(edges_i, (0, E_pad - E)).astype(np.int32)),
+        edge_j=jnp.asarray(np.pad(edges_j, (0, E_pad - E)).astype(np.int32)),
+        edge_meas=jnp.asarray(
+            np.pad(np.stack(meas), ((0, E_pad - E), (0, 0))).astype(
+                np.float32)),
+        edge_valid=jnp.asarray(np.arange(E_pad) < E),
+    )
+    opt_poses, stats = pose_graph.solve_pose_graph(
+        prob, huber=huber, max_iters=max_iters)
+
+    # scatter back + stereo + landmark updates
+    Kmax = kf.pose_l.shape[0]
+    new_left = np.asarray(kf.pose_l)
+    new_left[:n_kf] = np.asarray(opt_poses)[:n_kf]
+    kf, lm = _apply_poses(kf, lm, jnp.asarray(new_left), T_0_1)
+    return kf, lm, stats

@@ -1,0 +1,138 @@
+"""Global bundle adjustment over all keyframes and lifetime observations.
+
+The analogue of the reference's ``global_bundle_adjustment`` + ``global_ba``
+driver (loop_closure_utils.h:672-748, slam.cpp:1741-1789): every valid
+keyframe (both cams), every landmark, the ``all_obs`` observation tables,
+intrinsics frozen, first keyframe pair fixed. Uses the matrix-free LM-CG
+solver so the problem can grow to thousands of keyframes (and shard across
+a mesh via parallel/sharded_ba.py).
+
+Shapes are padded to powers of two so recompiles happen O(log N) times over
+a run.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.state import KeyframeState, LandmarkState
+from ..geometry import lie
+from ..solvers import ba_cg
+from ..solvers.ba import BAProblem
+
+
+def _pow2(n: int, lo: int = 16) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+class GlobalProblem(NamedTuple):
+    prob: BAProblem
+    n_kf: int
+    n_lm_cap: int
+
+
+@functools.partial(jax.jit, static_argnames=("K2", "Lw", "O"))
+def _build(kf: KeyframeState, lm: LandmarkState, intr0, intr1,
+           K2: int, Lw: int, O: int) -> BAProblem:
+    K = kf.frame_id.shape[0]
+    dtype = kf.pose_l.dtype
+    kf_ids = jnp.arange(K2, dtype=jnp.int32)
+    kf_ok = (kf_ids < kf.next_slot) & kf.valid[jnp.clip(kf_ids, 0, K - 1)]
+    sel_kf = jnp.clip(kf_ids, 0, K - 1)
+
+    poses = jnp.stack([kf.pose_l[sel_kf], kf.pose_r[sel_kf]], 1).reshape(
+        2 * K2, 7)
+    # gauge: first keyframe pair fixed (slam.cpp:1781)
+    fixed = jnp.repeat(~kf_ok | (kf_ids == 0), 2)
+    intr = jnp.stack([jnp.broadcast_to(intr0, (K2, 8)),
+                      jnp.broadcast_to(intr1, (K2, 8))], 1).reshape(
+        2 * K2, 8).astype(dtype)
+
+    L = lm.pos.shape[0]
+    lm_ids = jnp.arange(Lw, dtype=jnp.int32)
+    lm_ok = (lm_ids < lm.next_slot) & lm.valid[jnp.clip(lm_ids, 0, L - 1)]
+    sel_lm = jnp.clip(lm_ids, 0, L - 1)
+
+    M2 = lm.all_kf.shape[1]
+    okf = lm.all_kf[sel_lm]         # [Lw, M2]
+    ocam = lm.all_cam[sel_lm]
+    ofeat = lm.all_feat[sel_lm]
+    ovalid = (okf >= 0) & (okf < K2) & lm_ok[:, None]
+    opoint = jnp.broadcast_to(lm_ids[:, None], (Lw, M2))
+
+    flat_valid = ovalid.reshape(-1)
+    _, oidx = lax.top_k(flat_valid.astype(jnp.int32), O)
+    o_valid = flat_valid[oidx]
+    o_kf = okf.reshape(-1)[oidx]
+    o_cam = ocam.reshape(-1)[oidx]
+    o_feat = ofeat.reshape(-1)[oidx]
+    o_point = opoint.reshape(-1)[oidx]
+    o_w = jnp.where(o_valid, 2 * jnp.clip(o_kf, 0) + o_cam, 0)
+    o_uv = kf.corners[jnp.clip(o_kf, 0), o_cam, o_feat]
+
+    return BAProblem(
+        poses=poses, pose_fixed=fixed, intr=intr,
+        points=lm.pos[sel_lm], point_valid=lm_ok,
+        obs_cam=o_w.astype(jnp.int32), obs_point=o_point.astype(jnp.int32),
+        obs_uv=o_uv.astype(dtype), obs_valid=o_valid,
+    )
+
+
+@jax.jit
+def _merge(kf: KeyframeState, lm: LandmarkState, poses, points):
+    """Scatter back all-KF poses and all-landmark positions; refresh p_c."""
+    K = kf.pose_l.shape[0]
+    K2 = poses.shape[0] // 2
+    pl = poses.reshape(K2, 2, 7)
+    ids = jnp.arange(K2)
+    ok = (ids < kf.next_slot) & kf.valid[jnp.clip(ids, 0, K - 1)]
+    tgt = jnp.where(ok, ids, K)
+    kf = kf._replace(
+        pose_l=kf.pose_l.at[tgt].set(pl[:, 0], mode="drop"),
+        pose_r=kf.pose_r.at[tgt].set(pl[:, 1], mode="drop"),
+    )
+    L = lm.pos.shape[0]
+    Lw = points.shape[0]
+    lids = jnp.arange(Lw)
+    lok = (lids < lm.next_slot) & lm.valid[jnp.clip(lids, 0, L - 1)]
+    ltgt = jnp.where(lok, lids, L)
+    lm = lm._replace(pos=lm.pos.at[ltgt].set(points, mode="drop"))
+    anchor = jnp.clip(lm.from_kf, 0)
+    p_c = jax.vmap(lambda T, p: lie.se3_apply(lie.se3_inv(T), p))(
+        kf.pose_l[anchor], lm.pos)
+    lm = lm._replace(pos_c=jnp.where(lm.valid[:, None], p_c, lm.pos_c))
+    return kf, lm
+
+
+def run_global_ba(
+    kf: KeyframeState,
+    lm: LandmarkState,
+    intr0,
+    intr1,
+    cam_name: str = "ds",
+    huber: float = 1.0,
+    max_iters: int = 15,
+    cg_iters: int = 25,
+):
+    """Build + solve + merge. Returns (kf, lm, stats)."""
+    n_kf = int(kf.next_slot)
+    n_lm = int(lm.next_slot)
+    K2 = _pow2(n_kf)
+    Lw = _pow2(n_lm, lo=256)
+    M2 = int(lm.all_kf.shape[1])
+    O = _pow2(min(n_lm * 6, Lw * M2), lo=1024)
+    prob = _build(kf, lm, intr0, intr1, K2=K2, Lw=Lw, O=O)
+    poses, points, stats = ba_cg.solve_ba_cg(
+        prob, cam_name=cam_name, huber=huber, max_iters=max_iters,
+        cg_iters=cg_iters)
+    kf, lm = _merge(kf, lm, poses, points)
+    return kf, lm, stats

@@ -26,7 +26,11 @@ from ..core import state as state_mod
 from ..frontend.features import extract_features
 from ..geometry import lie
 from ..io.calib import Calibration
-from . import ba_window, keyframe as kf_mod, tracking
+from ..loop import closure as closure_mod
+from ..loop import relocalize as reloc_mod
+from ..loop import vocabulary as vocab_mod
+from ..loop.detector import LoopDetector
+from . import ba_global, ba_window, keyframe as kf_mod, tracking
 
 
 class SlamSystem:
@@ -66,6 +70,14 @@ class SlamSystem:
         self.tracking_ok = False
         self._key = jax.random.PRNGKey(cfg.seed)
 
+        # place recognition / loop closure
+        self.detector = LoopDetector(cfg.num_consistency)
+        self.voc = None                 # trained lazily from early keyframes
+        self.device_voc = None
+        self._vocab_pool: List[np.ndarray] = []
+        self.loop_edges: List[tuple] = []
+        self.pose_graph_done = False
+
     # ------------------------------------------------------------------
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -93,6 +105,8 @@ class SlamSystem:
             pnp_threshold=self.pnp_threshold,
             num_hypotheses=cfg.ransac_hypotheses,
             min_matches=cfg.ransac_min_matches,
+            quality_level=cfg.quality_level,
+            min_distance=cfg.min_distance,
         )
         return res, predicted
 
@@ -119,6 +133,98 @@ class SlamSystem:
         if self.tracking_ok:
             return lie.se3_mul(t.current_pose, t.vel)
         return t.current_pose
+
+    # ------------------- place recognition helpers -------------------
+    def _needs_bow(self):
+        return self.cfg.enable_loop_closure or self.cfg.enable_relocalization
+
+    def _maybe_train_vocab(self, feats):
+        """Train the BoW vocabulary online from early keyframe descriptors.
+
+        The reference loads a prebuilt ORBvoc.txt (slam.cpp:370-380); that
+        asset isn't shipped, so the vocabulary is trained from the first
+        keyframes' descriptors (documented deviation; load_dbow2_text is
+        available for users who have the file).
+        """
+        if self.voc is not None or not self._needs_bow():
+            return
+        bits = np.asarray(feats.bits)[np.asarray(feats.valid)]
+        if len(bits):
+            self._vocab_pool.append(bits)
+        total = sum(len(b) for b in self._vocab_pool)
+        if total >= 3 * self.cfg.num_features or len(self._vocab_pool) >= 4:
+            descs = np.concatenate(self._vocab_pool)
+            self.voc = vocab_mod.train(
+                descs, k=self.cfg.vocab_branching,
+                depth=self.cfg.vocab_depth, seed=self.cfg.seed)
+            self.device_voc = vocab_mod.DeviceVocabulary(self.voc)
+            self._vocab_pool = []
+
+    def _bow_of(self, feats):
+        if self.device_voc is None:
+            return None
+        words = np.asarray(self.device_voc.words(feats.bits, feats.valid))
+        return vocab_mod.bow_from_words(self.voc, words)
+
+    def _graph_sets(self):
+        return {s: set(d) for s, d in self.covis.items()}
+
+    def _try_relocalize(self, res):
+        """relocalize_camera (tracking.h:241-419). Returns (ok, pose)."""
+        if self.device_voc is None:
+            return False, None
+        bow = self._bow_of(res.feats)
+        if not bow:
+            return False, None
+        ok, T_wc, _pairs = reloc_mod.relocalize(
+            self.kf, self.lm, self.detector,
+            res.feats.bits, res.feats.valid, res.feats.corners, bow,
+            self._graph_sets(), self.track.current_pose, self.track.vel,
+            self.intr0, self.cam_name, self.cfg.motion_threshold,
+            self.pnp_threshold, self._next_key(),
+            num_hypotheses=self.cfg.ransac_hypotheses,
+            max_retries=self.cfg.track_max_retries,
+            max_candidates=self.cfg.reloc_max_candidates,
+        )
+        return ok, T_wc
+
+    def _loop_closure_step(self, slot, feats, edges):
+        """detect_loop_closure + compute_sim3 + loop_closure + GBA flag
+        (slam.cpp:1219-1259)."""
+        cfg = self.cfg
+        self._maybe_train_vocab(feats)
+        bow = self._bow_of(feats)
+        if bow is None:
+            return 0
+        if not cfg.enable_loop_closure:
+            self.detector.db.insert(slot, bow)  # reloc still needs the db
+            return 0
+        candidates = self.detector.detect(
+            slot, bow, edges, self._graph_sets(), 2 * cfg.num_cov_threshold)
+        n_closed = 0
+        fid = np.asarray(self.kf.frame_id)
+        for cand in candidates:
+            if fid[slot] - fid[cand] <= cfg.loop_closing_time_threshold:
+                continue
+            ok, sim3 = closure_mod.compute_sim3(
+                self.kf, self.lm, slot, cand,
+                sorted(self.covis.get(cand, {})), self.intr0, self.cam_name,
+                self.pnp_threshold, self._next_key(),
+                num_hypotheses=cfg.ransac_hypotheses)
+            if not ok:
+                continue
+            if not cfg.use_sim3:
+                sim3 = lie.identity_pose()
+            self.loop_edges.append((slot, cand))
+            self.kf, self.lm, _ = closure_mod.loop_closure(
+                self.kf, self.lm, slot, cand, sim3, self.covis, self.T_0_1,
+                essential_threshold=cfg.num_ess_threshold,
+                fixed_current=cfg.fixed_current_kf,
+                huber=1.0, max_iters=20)
+            n_closed += 1
+            if cfg.enable_gba_after_loop:
+                self.pose_graph_done = True
+        return n_closed
 
     # ------------------------------------------------------------------
     def process_frame(self, img_l, img_r=None) -> dict:
@@ -153,6 +259,10 @@ class SlamSystem:
             pose = res.T_w_c
         else:
             pose = self._lost_pose()
+            if cfg.enable_relocalization:
+                r_ok, r_pose = self._try_relocalize(res)
+                if r_ok:
+                    pose, ok = r_pose, True
         self.tracking_ok = ok if cfg.enable_relocalization else self.tracking_ok
         self.track = self.track._replace(current_pose=pose)
 
@@ -173,11 +283,16 @@ class SlamSystem:
             pose = res.T_w_c if bool(res.pnp_ok) else self._lost_pose()
         else:
             pose = self._lost_pose()
+            r_ok, r_pose = self._try_relocalize(res)
+            if r_ok:
+                pose, ok = r_pose, True
         if cfg.enable_relocalization:
             self.tracking_ok = ok
 
         feats_r = extract_features(jnp.asarray(img_r),
-                                   num_features=cfg.num_features)
+                                   num_features=cfg.num_features,
+                                   quality_level=cfg.quality_level,
+                                   min_distance=cfg.min_distance)
         stereo_j, stereo_inl = kf_mod.stereo_match(
             res.feats, feats_r, self.T_0_1, self.intr0, self.intr1,
             cam_name=self.cam_name, threshold=cfg.match_max_dist,
@@ -204,6 +319,11 @@ class SlamSystem:
         for s, wt in edges.items():
             self.covis.setdefault(s, {})[slot] = wt
 
+        # loop closure / place recognition (slam.cpp:1205-1259)
+        n_closed = 0
+        if self._needs_bow():
+            n_closed = self._loop_closure_step(slot, res.feats, edges)
+
         # window management (remove_old_keyframes)
         self.kf_window.append(self.frame)
         deact = []
@@ -224,6 +344,13 @@ class SlamSystem:
             W2=cfg.window_cams // 2, Lw=cfg.window_points, O=cfg.window_obs,
         )
 
+        # global BA after a pose-graph correction (slam.cpp:1285-1288)
+        if self.pose_graph_done:
+            self.pose_graph_done = False
+            self.kf, self.lm, _ = ba_global.run_global_ba(
+                self.kf, self.lm, self.intr0, self.intr1,
+                cam_name=self.cam_name, huber=cfg.ba_huber_px)
+
         # current pose = optimized KF pose (slam.cpp:1291)
         pose = self.kf.pose_l[slot]
         self.track = self.track._replace(current_pose=pose)
@@ -234,6 +361,7 @@ class SlamSystem:
                 "inliers": int(res.num_inliers),
                 "stereo_inliers": int(jnp.sum(stereo_inl)),
                 "new_landmarks": int(out.num_new),
+                "loops_closed": n_closed,
                 "ba_final_cost": float(ba_stats["final_cost"]), "ok": ok}
 
     # ------------------------------------------------------------------

@@ -61,7 +61,7 @@ def project_landmarks(lm: LandmarkState, T_w_c, cam_name, intr, width, height,
 @functools.partial(
     jax.jit,
     static_argnames=("cam_name", "num_features", "inview_cap", "width",
-                     "height", "num_hypotheses"),
+                     "height", "num_hypotheses", "min_distance"),
 )
 def track_frame(
     key,
@@ -83,8 +83,12 @@ def track_frame(
     pnp_threshold: float = 0.000018,  # 1-cos(atan(3/500))
     num_hypotheses: int = 256,
     min_matches: int = 10,
+    quality_level: float = 0.01,
+    min_distance: int = 8,
 ) -> TrackResult:
-    feats = extract_features(img_l, num_features=num_features)
+    feats = extract_features(img_l, num_features=num_features,
+                             quality_level=quality_level,
+                             min_distance=min_distance)
 
     # ---- project + compact in-view landmarks (newest-first) ----
     proj, in_view = project_landmarks(

@@ -162,8 +162,9 @@ def _schur_solve(Hcc, Hpp, U, bc, bp, pose_fixed, point_valid, lam):
     S = S + jnp.diag(jnp.where(free, 0.0, 1.0))
     rhs = jnp.where(free, rhs, 0.0)
 
-    # dense solve (6K <= ~150 for the windowed problem)
-    delta_c = jnp.linalg.solve(S, rhs).reshape(K, 6)
+    # dense solve (6K <= ~150 for the windowed problem); nan_to_num guards
+    # singular systems (the LM accept test then simply rejects the step)
+    delta_c = jnp.nan_to_num(jnp.linalg.solve(S, rhs)).reshape(K, 6)
 
     # back-substitute points: delta_p = Hpp^-1 (-bp - U^T delta_c)
     rhs_p = -bp - jnp.einsum("kalb,ka->lb", U, delta_c)

@@ -1,0 +1,140 @@
+"""Matrix-free LM-CG bundle adjustment for large / sharded problems.
+
+The reference's global BA hands Ceres every camera + every lifetime
+observation (loop_closure_utils.h:672-748). At thousands of keyframes an
+explicit reduced camera system stops fitting; this solver never forms the
+Hessian: each LM iteration runs conjugate gradients on
+``H v = J^T (J v) + lambda v`` where ``J v`` / ``J^T u`` are jvp/vjp calls
+through the residual function. Everything is pure map/reduce over the
+observation axis, so sharding the observation and landmark arrays across a
+device mesh (parallel/sharded_ba.py) turns the reductions into psums that
+XLA inserts automatically.
+
+Gauge fixing masks the fixed cameras' tangent deltas inside the operator.
+Huber IRLS weights are frozen per outer iteration, matching the solve in
+solvers/ba.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..geometry import lie
+from .ba import BAProblem, _huber_weights, _project_obs, _robust_cost
+
+
+def _residual_fn(cam_name, prob: BAProblem):
+    def residuals(dc, dp):
+        poses = jax.vmap(lie.se3_retract)(prob.poses, dc)
+        points = prob.points + dp
+
+        def one(cam_i, pt_i, uv):
+            return _project_obs(cam_name, prob.intr[cam_i], poses[cam_i],
+                                points[pt_i], uv)
+
+        return jax.vmap(one)(prob.obs_cam, prob.obs_point, prob.obs_uv)
+
+    return residuals
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cam_name", "max_iters", "cg_iters"))
+def solve_ba_cg(
+    prob: BAProblem,
+    cam_name: str = "ds",
+    huber: float = 1.0,
+    max_iters: int = 15,
+    cg_iters: int = 25,
+    lam0: float = 1e-3,
+):
+    """LM with inner CG. Returns (poses, points, stats)."""
+    K = prob.poses.shape[0]
+    L = prob.points.shape[0]
+    dtype = prob.poses.dtype
+    residuals = _residual_fn(cam_name, prob)
+
+    free_c = (~prob.pose_fixed)[:, None].astype(dtype)       # [K, 1]
+    free_p = prob.point_valid[:, None].astype(dtype)         # [L, 1]
+
+    def mask(dc, dp):
+        return dc * free_c, dp * free_p
+
+    def cost_of(dc, dp):
+        r = residuals(dc, dp)
+        return _robust_cost(r, prob.obs_valid, huber)
+
+    zero = (jnp.zeros((K, 6), dtype), jnp.zeros((L, 3), dtype))
+
+    def step(carry, _):
+        poses, points, lam, cost = carry
+        p0 = BAProblem(poses=poses, points=points, **{
+            f: getattr(prob, f) for f in prob._fields
+            if f not in ("poses", "points")})
+        res_fn = _residual_fn(cam_name, p0)
+        r0 = res_fn(*zero)
+        sw = (_huber_weights(r0, huber)
+              * p0.obs_valid.astype(dtype))[:, None]          # [O, 1]
+
+        def wres(dc, dp):
+            return res_fn(dc, dp) * sw
+
+        r0w = wres(*zero)
+
+        def Jv(v):
+            return jax.jvp(lambda d: wres(*mask(*d)), (zero,), (v,))[1]
+
+        _, vjp = jax.vjp(lambda d: wres(*mask(*d)), zero)
+
+        def JTu(u):
+            return vjp(u)[0]
+
+        def Hv(v):
+            hc, hp = JTu(Jv(v))
+            return (hc + lam * v[0] * free_c, hp + lam * v[1] * free_p)
+
+        g = JTu(r0w)
+        b = (-g[0] * free_c, -g[1] * free_p)
+
+        def dot(a, bb):
+            return jnp.vdot(a[0], bb[0]) + jnp.vdot(a[1], bb[1])
+
+        # plain CG from zero
+        def cg_body(carry, _):
+            x, r, p, rs = carry
+            Ap = Hv(p)
+            alpha = rs / jnp.maximum(dot(p, Ap), 1e-30)
+            x = (x[0] + alpha * p[0], x[1] + alpha * p[1])
+            r = (r[0] - alpha * Ap[0], r[1] - alpha * Ap[1])
+            rs_new = dot(r, r)
+            beta = rs_new / jnp.maximum(rs, 1e-30)
+            p = (r[0] + beta * p[0], r[1] + beta * p[1])
+            return (x, r, p, rs_new), None
+
+        (x, _, _, _), _ = lax.scan(
+            cg_body, (zero, b, b, dot(b, b)), None, length=cg_iters)
+        dc, dp = mask(*x)
+
+        new_poses = jax.vmap(lie.se3_retract)(poses, dc)
+        new_poses = jnp.where(prob.pose_fixed[:, None], poses, new_poses)
+        new_points = points + dp
+        new_cost = _robust_cost(
+            _residual_fn(cam_name, p0._replace(poses=new_poses,
+                                               points=new_points))(*zero),
+            prob.obs_valid, huber)
+        accept = new_cost < cost
+        poses = jnp.where(accept, new_poses, poses)
+        points = jnp.where(accept, new_points, points)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e8)
+        return (poses, points, lam, cost), new_cost
+
+    init_cost = cost_of(*zero)
+    (poses, points, lam, cost), history = lax.scan(
+        step, (prob.poses, prob.points, jnp.asarray(lam0, dtype), init_cost),
+        None, length=max_iters)
+    return poses, points, {"initial_cost": init_cost, "final_cost": cost,
+                           "history": history}

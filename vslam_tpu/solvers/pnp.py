@@ -55,27 +55,63 @@ def _sample_minimal(key, valid, num_hyp: int, sample_size: int):
     return idx
 
 
-def _orthogonalize(m):
-    """Nearest rotation to a 3x3 matrix (sign-corrected SVD)."""
-    u, s, vt = jnp.linalg.svd(m)
-    d = jnp.linalg.det(u @ vt)
-    fix = jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d], axis=-1)
-    r = (u * fix[..., None, :]) @ vt
-    scale = jnp.mean(s, axis=-1)
+def _orthogonalize(m, iters: int = 12):
+    """Nearest rotation + mean scale for a 3x3 matrix.
+
+    Newton-Schulz polar iteration instead of SVD: TPU compiles tiny matmul
+    loops orders of magnitude faster than batched SVD, and the DLT matrices
+    here are well-conditioned after normalization. Converges to the
+    orthogonal polar factor (det sign follows det(m); callers evaluate both
+    DLT sign branches and pick by cheirality).
+    """
+    # normalize so singular values are <= ~1 (required for convergence)
+    norm = jnp.sqrt(jnp.sum(m * m, axis=(-2, -1), keepdims=True)) + 1e-12
+    x = m / norm
+    eye = jnp.eye(3, dtype=m.dtype)
+    for _ in range(iters):
+        xtx = jnp.swapaxes(x, -1, -2) @ x
+        x = x @ (1.5 * eye - 0.5 * xtx)
+    r = x
+    # scale = mean singular value = trace(R^T M) / 3
+    scale = jnp.trace(jnp.swapaxes(r, -1, -2) @ m, axis1=-2, axis2=-1) / 3.0
     return r, scale
+
+
+def _smallest_eigvec(M, iters: int = 12):
+    """Eigenvector of the smallest eigenvalue of a PSD matrix [n, n].
+
+    Inverse iteration with a tiny shift and a fixed deterministic start;
+    replaces the SVD null-space extraction (batched SVD is prohibitively
+    slow to compile on TPU).
+    """
+    n = M.shape[-1]
+    tr = jnp.trace(M) / n
+    A = M + (1e-9 * tr + 1e-20) * jnp.eye(n, dtype=M.dtype)
+    cho = jax.scipy.linalg.cho_factor(A)
+    v = jnp.ones((n,), dtype=M.dtype) / jnp.sqrt(jnp.asarray(n, M.dtype))
+    for _ in range(iters):
+        v = jax.scipy.linalg.cho_solve(cho, v)
+        v = v / (jnp.linalg.norm(v) + 1e-30)
+    return v
 
 
 def _dlt_pose(points, bearings):
     """DLT for T_c_w from S >= 6 correspondences.
 
     points [S, 3] world, bearings [S, 3] unit camera-frame rays.
-    Constraint: [f]_x (R X + t) = 0. Returns two sign candidates
-    (R [2, 3, 3], t [2, 3]).
+    Constraint: [f]_x (R X + t) = 0. Points are Hartley-normalized
+    (centroid + RMS scale) for f32 conditioning. Returns two sign
+    candidates (R [2, 3, 3], t [2, 3]).
     """
     s = points.shape[0]
     f = bearings
     zeros = jnp.zeros((s,), dtype=points.dtype)
     ones = jnp.ones((s,), dtype=points.dtype)
+
+    # Hartley normalization: X' = (X - c) / sc
+    c = jnp.mean(points, axis=0)
+    sc = jnp.sqrt(jnp.mean(jnp.sum((points - c) ** 2, axis=-1))) + 1e-12
+    points = (points - c) / sc
 
     # rows of [f]_x kron [X^T, 1]
     fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
@@ -93,16 +129,20 @@ def _dlt_pose(points, bearings):
     r3 = row(-fy, fx, zeros)
     A = jnp.concatenate([r1, r2, r3], axis=0)  # [3S, 12]
 
-    # smallest right singular vector
-    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
-    p = vt[-1]  # [12]
+    # null vector of A via the smallest eigenvector of A^T A (SVD-free)
+    p = _smallest_eigvec(A.T @ A)  # [12]
     M = p.reshape(3, 4)
-    Rt, scale = _orthogonalize(M[:, :3])
-    t = M[:, 3] / jnp.where(scale < 1e-12, 1e-12, scale)
+    # M[:, :3] = lam * R / sc (normalized points) => undo normalization:
+    # x_c ~ R X + t with t = M[:, 3] / lam - R c, lam = scale_from_orth
+    Rt, lam = _orthogonalize(M[:, :3])
+    lam = jnp.where(jnp.abs(lam) < 1e-12, 1e-12, lam)
+    t = M[:, 3] / lam - (Rt @ c) / sc
+    t = t * sc
 
     # DLT sign ambiguity: (-M) is an equally valid solution.
-    Rt2, _ = _orthogonalize(-M[:, :3])
-    t2 = -t
+    Rt2, lam2 = _orthogonalize(-M[:, :3])
+    lam2 = jnp.where(jnp.abs(lam2) < 1e-12, 1e-12, lam2)
+    t2 = (-M[:, 3] / lam2 - (Rt2 @ c) / sc) * sc
     return jnp.stack([Rt, Rt2]), jnp.stack([t, t2])
 
 

@@ -43,6 +43,37 @@ def _yaw_quat(theta):
     return np.array([0.0, np.sin(theta / 2), 0.0, np.cos(theta / 2)])
 
 
+def _look_at(pos, target):
+    """T_w_c with camera +z toward target, +y roughly world +y (image down)."""
+    z = target - pos
+    z = z / np.linalg.norm(z)
+    x = np.cross(np.array([0.0, 1.0, 0.0]), z)
+    n = np.linalg.norm(x)
+    if n < 1e-6:
+        x = np.array([1.0, 0.0, 0.0])
+    else:
+        x = x / n
+    y = np.cross(z, x)
+    R = np.stack([x, y, z], axis=1)
+    # rotation matrix -> quaternion (w-first math, stored xyzw)
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        q = np.array([(R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+                      (R[1, 0] - R[0, 1]) / s, s / 4])
+    else:
+        i = np.argmax(np.diag(R))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(1.0 + R[i, i] - R[j, j] - R[k, k]) * 2
+        q = np.zeros(4)
+        q[i] = s / 4
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[k] = (R[k, i] + R[i, k]) / s
+        q[3] = (R[k, j] - R[j, k]) / s
+    q = q / np.linalg.norm(q)
+    return np.concatenate([pos, q])
+
+
 @dataclasses.dataclass
 class SyntheticSequence:
     images: List[Tuple[np.ndarray, np.ndarray]]  # [(left, right)] uint8
@@ -93,12 +124,20 @@ def generate(
     rng = np.random.RandomState(seed)
     calib = make_calib(width, height)
 
-    # landmarks: a corridor of points in front of the trajectory
-    points = np.stack([
-        rng.uniform(-6, 10, num_points),
-        rng.uniform(-3, 3, num_points),
-        rng.uniform(2.0, 14.0, num_points),
-    ], axis=-1)
+    # landmarks: a corridor of points in front of the trajectory, or a
+    # central cluster for the orbiting "loop" motion
+    if motion == "loop":
+        points = np.stack([
+            rng.uniform(-2.5, 2.5, num_points),
+            rng.uniform(-1.8, 1.8, num_points),
+            rng.uniform(-2.5, 2.5, num_points),
+        ], axis=-1)
+    else:
+        points = np.stack([
+            rng.uniform(-6, 10, num_points),
+            rng.uniform(-3, 3, num_points),
+            rng.uniform(2.0, 14.0, num_points),
+        ], axis=-1)
     # per-point texture patches, high contrast. Must be larger than the
     # BRIEF tap radius fraction so descriptors of the same landmark agree
     # across views (the constant background makes out-of-patch taps equal).
@@ -143,6 +182,16 @@ def generate(
         s = f / max(num_frames - 1, 1)
         # EuRoC-like speeds: a few cm per frame so guided matching's 20 px
         # gate holds (the reference relies on the same assumption)
+        if motion == "loop":
+            # full orbit around the landmark cluster, returning to the start.
+            # needs >= ~90 frames: camera yaw per frame is the orbit step and
+            # the 20 px guided-match gate tolerates only a few degrees until
+            # the constant-velocity model locks in.
+            th = 2 * np.pi * s
+            pos = np.array([5.0 * np.sin(th), 0.05 * np.sin(2 * th),
+                            -5.0 * np.cos(th)])
+            poses[f] = _look_at(pos, np.zeros(3))
+            continue
         if motion == "arc":
             t = np.array([0.8 * s, 0.15 * np.sin(2 * np.pi * s), 1.1 * s])
             yaw = 0.12 * np.sin(2 * np.pi * s)

@@ -1,0 +1,108 @@
+"""Full-state checkpoint / resume.
+
+The reference can only save a final map artifact (slam.cpp:1791-1822); there
+is no mid-run resume. Here the complete SLAM state — keyframes, landmarks
+(including observation tables and descriptor banks), track state, host
+bookkeeping (covisibility graph, window, BoW inverted file, consistency
+groups), and the PRNG key — round-trips through a single npz + JSON pair, so
+a run can stop and resume exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+if TYPE_CHECKING:
+    from ..pipeline.slam import SlamSystem
+
+
+def save(slam: "SlamSystem", path: str) -> None:
+    """Write <path>.npz (arrays) and <path>.json (host bookkeeping)."""
+    arrays = {}
+    for name, tree in (("lm", slam.lm), ("kf", slam.kf), ("track", slam.track)):
+        for field, val in tree._asdict().items():
+            arrays[f"{name}.{field}"] = np.asarray(val)
+    arrays["key"] = np.asarray(slam._key)
+    if slam.voc is not None:
+        v = slam.voc
+        arrays["voc.meta"] = np.asarray([v.k, v.depth])
+        for f in ("node_desc", "children", "is_leaf", "word_of_node",
+                  "node_of_word", "weights", "parent", "level"):
+            arrays[f"voc.{f}"] = getattr(v, f)
+    np.savez_compressed(path + ".npz", **arrays)
+
+    host = {
+        "frame": slam.frame,
+        "take_keyframe": slam.take_keyframe,
+        "last_kf_slot": slam.last_kf_slot,
+        "kf_window": slam.kf_window,
+        "slot_of_frame": {str(k): v for k, v in slam.slot_of_frame.items()},
+        "covis": {str(k): v for k, v in slam.covis.items()},
+        "tracking_ok": slam.tracking_ok,
+        "trajectory": [t.tolist() for t in slam.trajectory],
+        "loop_edges": slam.loop_edges,
+        "pose_graph_done": slam.pose_graph_done,
+        "db_inverted": {str(k): v for k, v in slam.detector.db.inverted.items()},
+        "db_bow": {str(k): v for k, v in slam.detector.db.bow_of.items()},
+        "consistent_groups": [
+            [sorted(g), n] for g, n in slam.detector.consistent_groups],
+        "stats": slam.stats,
+    }
+    with open(path + ".json", "w") as f:
+        json.dump(host, f)
+
+
+def load(slam: "SlamSystem", path: str) -> "SlamSystem":
+    """Restore state saved by ``save`` into an initialized SlamSystem."""
+    data = np.load(path + ".npz")
+
+    def restore(tree, prefix):
+        return type(tree)(**{
+            f: jnp.asarray(data[f"{prefix}.{f}"]) for f in tree._fields})
+
+    slam.lm = restore(slam.lm, "lm")
+    slam.kf = restore(slam.kf, "kf")
+    slam.track = restore(slam.track, "track")
+    slam._key = jnp.asarray(data["key"])
+    if "voc.meta" in data:
+        from ..loop import vocabulary as vocab_mod
+
+        k, depth = (int(x) for x in data["voc.meta"])
+        slam.voc = vocab_mod.Vocabulary(
+            k=k, depth=depth,
+            node_desc=data["voc.node_desc"], children=data["voc.children"],
+            is_leaf=data["voc.is_leaf"],
+            word_of_node=data["voc.word_of_node"],
+            node_of_word=data["voc.node_of_word"],
+            weights=data["voc.weights"], parent=data["voc.parent"],
+            level=data["voc.level"])
+        slam.device_voc = vocab_mod.DeviceVocabulary(slam.voc)
+
+    with open(path + ".json") as f:
+        host = json.load(f)
+    slam.frame = host["frame"]
+    slam.take_keyframe = host["take_keyframe"]
+    slam.last_kf_slot = host["last_kf_slot"]
+    slam.kf_window = list(host["kf_window"])
+    slam.slot_of_frame = {int(k): v for k, v in host["slot_of_frame"].items()}
+    slam.covis = {int(k): {int(s): w for s, w in d.items()}
+                  for k, d in host["covis"].items()}
+    slam.tracking_ok = host["tracking_ok"]
+    slam.trajectory = [np.asarray(t) for t in host["trajectory"]]
+    slam.loop_edges = [tuple(e) for e in host["loop_edges"]]
+    slam.pose_graph_done = host["pose_graph_done"]
+    slam.detector.db.inverted = {
+        int(k): list(v) for k, v in host["db_inverted"].items()}
+    slam.detector.db.bow_of = {
+        int(k): {int(w): x for w, x in d.items()}
+        for k, d in host["db_bow"].items()}
+    slam.detector.consistent_groups = [
+        (set(g), n) for g, n in host["consistent_groups"]]
+    slam.stats = host["stats"]
+    return slam
