@@ -1,0 +1,68 @@
+"""Validates the driver contract: entry() compiles and runs single-device;
+dryrun_multichip() compiles + executes the sharded paths on a virtual
+8-device CPU mesh (conftest sets xla_force_host_platform_device_count=8).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+
+def test_entry_compiles_and_runs():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out.T_w_c)
+    assert np.all(np.isfinite(np.asarray(out.T_w_c)))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_sharded_ba_matches_single_device():
+    """Sharded LM-CG must give the same result as unsharded."""
+    import __graft_entry__ as g
+    from vslam_tpu.parallel.mesh import make_mesh
+    from vslam_tpu.parallel import sharded_ba
+    from vslam_tpu.solvers import ba_cg
+
+    # reuse the dryrun problem builder
+    import jax.numpy as jnp
+    from vslam_tpu.geometry import cameras, lie
+    from vslam_tpu.solvers.ba import BAProblem
+
+    K, L, O = 6, 48, 128
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 4)
+    points = jax.random.uniform(ks[0], (L, 3), minval=-2, maxval=2) + jnp.array(
+        [0.0, 0.0, 6.0])
+    poses = jnp.tile(lie.identity_pose(), (K, 1))
+    poses = poses.at[:, 0].set(jnp.linspace(0, 1.0, K))
+    obs_cam = jax.random.randint(ks[1], (O,), 0, K)
+    obs_point = jax.random.randint(ks[2], (O,), 0, L)
+    intr = jnp.asarray([110.0, 110, 64, 48, 0, 0, 0, 0])
+    pc = jax.vmap(lambda c, p: lie.se3_apply(lie.se3_inv(poses[c]), points[p])
+                  )(obs_cam, obs_point)
+    uv = cameras.project("pinhole", intr, pc)
+    prob = BAProblem(
+        poses=poses, pose_fixed=jnp.arange(K) < 2,
+        intr=jnp.tile(intr, (K, 1)),
+        points=points + 0.02 * jax.random.normal(ks[3], (L, 3)),
+        point_valid=jnp.ones((L,), bool),
+        obs_cam=obs_cam, obs_point=obs_point, obs_uv=uv,
+        obs_valid=jnp.ones((O,), bool),
+    )
+    p1, x1, s1 = ba_cg.solve_ba_cg(prob, cam_name="pinhole", max_iters=3,
+                                   cg_iters=8)
+    if len(jax.devices()) >= 8:
+        mesh = make_mesh(8, axes=("data",))
+        p2, x2, s2 = sharded_ba.solve_sharded(
+            prob, mesh, cam_name="pinhole", max_iters=3, cg_iters=8)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-4)
+    assert float(s1["final_cost"]) < float(s1["initial_cost"])

@@ -225,8 +225,7 @@ def loop_closure(
         prob, huber=huber, max_iters=max_iters)
 
     # scatter back + stereo + landmark updates
-    Kmax = kf.pose_l.shape[0]
-    new_left = np.asarray(kf.pose_l)
+    new_left = np.asarray(kf.pose_l).copy()
     new_left[:n_kf] = np.asarray(opt_poses)[:n_kf]
     kf, lm = _apply_poses(kf, lm, jnp.asarray(new_left), T_0_1)
     return kf, lm, stats

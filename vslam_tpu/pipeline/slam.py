@@ -201,6 +201,7 @@ class SlamSystem:
             return 0
         candidates = self.detector.detect(
             slot, bow, edges, self._graph_sets(), 2 * cfg.num_cov_threshold)
+        self.last_loop_candidates = list(candidates)
         n_closed = 0
         fid = np.asarray(self.kf.frame_id)
         for cand in candidates:

@@ -115,17 +115,19 @@ def track_frame(
     # ---- PnP localization ----
     bearings = cam_models.unproject(cam_name, intr0, feats.corners)
     points = cand_pos[jnp.clip(match_local, 0)]
-    T_ransac, inlier, num_inl, _ = pnp.ransac_pnp(
+    T_ransac, inlier, num_inl, pnp_valid = pnp.ransac_pnp(
         key, points, bearings, m_ok, pnp_threshold,
         num_hypotheses=num_hypotheses,
     )
-    enough = num_matches >= min_matches
+    enough = (num_matches >= min_matches) & pnp_valid
     T_w_c = jnp.where(enough, T_ransac, predicted_pose)
     inlier = inlier & enough & m_ok
 
     # ---- motion-model gate (tracking.h:131-133) ----
     se3_vel = lie.se3_log(lie.se3_mul(lie.se3_inv(gate_pose), T_w_c))
     err = jnp.sum(jnp.abs(se3_vel[:3] - lie.se3_log(vel)[:3]))
+    # a non-finite pose/err must read as a FAILED gate (NaN > thr is false)
+    err = jnp.where(jnp.isfinite(err), err, jnp.inf)
 
     return TrackResult(
         feats=feats,

@@ -51,11 +51,21 @@ class BAProblem(NamedTuple):
     obs_valid: jnp.ndarray    # [O] bool
 
 
+RESIDUAL_CLIP = 1e5  # px; observations behind a camera can otherwise
+# produce ~1/z^2 residuals whose f32 square overflows to inf, and
+# inf * 0-weight = NaN poisons the normal equations.
+
+
 def _project_obs(cam_name, intr, T_w_c, X, uv):
     """Single-observation residual r = uv - project(T_w_c^-1 X). [2]."""
     p_c = lie.se3_apply(lie.se3_inv(T_w_c), X)
     pred = cam_models.project(cam_name, intr, p_c)
-    return uv - pred
+    return jnp.clip(uv - pred, -RESIDUAL_CLIP, RESIDUAL_CLIP)
+
+
+def _sanitize(x):
+    """Zero out NaN/inf entries (degenerate Jacobians of outliers)."""
+    return jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
 
 
 def _obs_residual_jac(cam_name, prob: BAProblem, poses, points):
@@ -104,6 +114,7 @@ def _normal_equations(cam_name, prob: BAProblem, poses, points, huber):
     K = poses.shape[0]
     L = points.shape[0]
     r, Jc, Jp = _obs_residual_jac(cam_name, prob, poses, points)
+    r, Jc, Jp = _sanitize(r), _sanitize(Jc), _sanitize(Jp)
     sw = _huber_weights(r, huber) * prob.obs_valid.astype(r.dtype)
     r = r * sw[:, None]
     Jc = Jc * sw[:, None, None]

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..geometry import lie
-from .ba import BAProblem, _huber_weights, _project_obs, _robust_cost
+from .ba import (BAProblem, _huber_weights, _project_obs, _robust_cost,
+                 _sanitize)
 
 
 def _residual_fn(cam_name, prob: BAProblem):
@@ -80,7 +81,7 @@ def solve_ba_cg(
               * p0.obs_valid.astype(dtype))[:, None]          # [O, 1]
 
         def wres(dc, dp):
-            return res_fn(dc, dp) * sw
+            return _sanitize(res_fn(dc, dp)) * sw
 
         r0w = wres(*zero)
 

@@ -209,6 +209,10 @@ def ransac_pnp(
     brs = bearings[idx]
 
     Rs, ts = jax.vmap(_dlt_pose)(pts, brs)  # [H, 2, 3, 3], [H, 2, 3]
+    # degenerate samples (duplicate points) can yield NaN hypotheses;
+    # make them finite garbage so they simply score zero inliers
+    Rs = jnp.nan_to_num(Rs, nan=0.0, posinf=0.0, neginf=0.0)
+    ts = jnp.nan_to_num(ts, nan=0.0, posinf=0.0, neginf=0.0)
 
     # score both sign branches of every hypothesis
     def score(R, t):
@@ -235,6 +239,11 @@ def ransac_pnp(
     inliers = (err < threshold) & valid
     num = jnp.sum(inliers)
 
-    ok = num >= min_inliers
     T_wc = lie.se3_inv(T_cw)
+    finite = jnp.all(jnp.isfinite(T_wc))
+    ok = (num >= min_inliers) & finite
+    inliers = inliers & finite
+    num = jnp.where(finite, num, 0)
+    T_wc = jnp.nan_to_num(T_wc, nan=0.0, posinf=0.0, neginf=0.0)
+    T_wc = jnp.where(finite, T_wc, lie.identity_pose(T_wc.dtype))
     return T_wc, inliers, num, ok

@@ -127,10 +127,16 @@ def generate(
     # landmarks: a corridor of points in front of the trajectory, or a
     # central cluster for the orbiting "loop" motion
     if motion == "loop":
+        # ring of landmarks AROUND the orbit; the camera looks outward so
+        # each frame sees a distinct arc segment — place recognition can
+        # then discriminate revisits (a single central cluster would make
+        # every frame look alike to BoW)
+        phi = rng.uniform(0, 2 * np.pi, num_points)
+        rad = rng.uniform(7.0, 10.0, num_points)
         points = np.stack([
-            rng.uniform(-2.5, 2.5, num_points),
-            rng.uniform(-1.8, 1.8, num_points),
-            rng.uniform(-2.5, 2.5, num_points),
+            rad * np.sin(phi),
+            rng.uniform(-2.2, 2.2, num_points),
+            -rad * np.cos(phi),
         ], axis=-1)
     else:
         points = np.stack([
@@ -183,14 +189,16 @@ def generate(
         # EuRoC-like speeds: a few cm per frame so guided matching's 20 px
         # gate holds (the reference relies on the same assumption)
         if motion == "loop":
-            # full orbit around the landmark cluster, returning to the start.
-            # needs >= ~90 frames: camera yaw per frame is the orbit step and
-            # the 20 px guided-match gate tolerates only a few degrees until
-            # the constant-velocity model locks in.
+            # full orbit, camera facing outward at the landmark ring,
+            # returning to the start. needs >= ~90 frames: camera yaw per
+            # frame is the orbit step and the 20 px guided-match gate
+            # tolerates only a few degrees until the constant-velocity
+            # model locks in.
             th = 2 * np.pi * s
-            pos = np.array([5.0 * np.sin(th), 0.05 * np.sin(2 * th),
-                            -5.0 * np.cos(th)])
-            poses[f] = _look_at(pos, np.zeros(3))
+            pos = np.array([3.0 * np.sin(th), 0.04 * np.sin(2 * th),
+                            -3.0 * np.cos(th)])
+            target = np.array([9.0 * np.sin(th), 0.0, -9.0 * np.cos(th)])
+            poses[f] = _look_at(pos, target)
             continue
         if motion == "arc":
             t = np.array([0.8 * s, 0.15 * np.sin(2 * np.pi * s), 1.1 * s])
