@@ -88,7 +88,24 @@ def match_table(dist, threshold: int = 70, ratio: float = 1.2):
 @functools.partial(jax.jit, static_argnames=("threshold",))
 def match_descriptors(bits_a, bits_b, valid_a, valid_b,
                       threshold: int = 70, ratio: float = 1.2):
-    """End-to-end matcher: distance matrix + mutual ratio-tested matches."""
+    """End-to-end matcher: mutual ratio-tested matches.
+
+    On TPU uses the fused Pallas distance+top2 kernel (no [N, M] matrix in
+    HBM); elsewhere the XLA matrix path. Semantics identical.
+    """
+    if jax.default_backend() == "tpu":
+        from .pallas_hamming import hamming_top2
+
+        n = bits_a.shape[0]
+        rb1, rb2, row_arg = hamming_top2(bits_a, bits_b, valid_a, valid_b)
+        cb1, cb2, col_arg = hamming_top2(bits_b, bits_a, valid_b, valid_a)
+        row_ok = (rb1 < threshold) & ~(rb2.astype(jnp.float32) < rb1 * ratio)
+        j = row_arg
+        col_ok = (cb1[j] < threshold) & ~(
+            cb2[j].astype(jnp.float32) < cb1[j] * ratio)
+        mutual = col_arg[j] == jnp.arange(n)
+        accepted = row_ok & col_ok & mutual
+        return jnp.where(accepted, j, -1), accepted
     d = distance_matrix(bits_a, bits_b, valid_a, valid_b)
     return match_table(d, threshold, ratio)
 
@@ -112,6 +129,15 @@ def match_landmarks(
 
     Returns (match_lm [N] int32 index into the P axis or -1, accepted [N]).
     """
+    if jax.default_backend() == "tpu":
+        from .pallas_hamming import landmark_top2
+
+        b1, b2, arg, any_c = landmark_top2(
+            kp_bits, kp_valid, kp_xy, lm_bank_bits, lm_bank_valid,
+            lm_proj_xy, lm_valid, max_dist_2d)
+        ok = (any_c & (b1 < threshold)
+              & ~(b2.astype(jnp.float32) < b1 * ratio))
+        return jnp.where(ok, arg, -1), ok
     p, b, _ = lm_bank_bits.shape
     flat_bits = lm_bank_bits.reshape(p * b, 256)
     flat_valid = lm_bank_valid.reshape(p * b) & jnp.repeat(lm_valid, b)
