@@ -1,0 +1,32 @@
+import numpy as np
+import pytest
+
+from vslam_tpu import synthetic
+from vslam_tpu.config import SlamConfig
+from vslam_tpu.eval import ate
+from vslam_tpu.parallel.multiseq_runner import MultiSeqVO
+
+
+def test_multiseq_vo_two_sequences():
+    cfg = SlamConfig(
+        num_features=400, ransac_hypotheses=128, max_landmarks=8192,
+        max_keyframes=64, max_inview_landmarks=512, window_cams=24,
+        window_points=2048, window_obs=6144, ba_max_iters=8,
+        enable_relocalization=False, enable_loop_closure=False,
+        new_kf_min_inliers=60,
+    )
+    seq_a = synthetic.generate(num_frames=12, num_points=500, seed=3)
+    seq_b = synthetic.generate(num_frames=12, num_points=500, seed=11)
+
+    ms = MultiSeqVO(seq_a.calib, num_sequences=2, config=cfg)
+    for f in range(12):
+        imgs_l = np.stack([seq_a.images[f][0], seq_b.images[f][0]])
+        imgs_r = np.stack([seq_a.images[f][1], seq_b.images[f][1]])
+        ms.process_frames(imgs_l, imgs_r)
+
+    for s, seq in enumerate([seq_a, seq_b]):
+        est = np.stack(ms.trajectories[s])[:, :3]
+        _, _, rmse = ate.align_svd(est, seq.poses[:, :3])
+        assert rmse < 0.15, f"seq {s}: ATE {rmse:.3f}"
+        # maps grew independently
+        assert int(np.asarray(ms.lm.valid[s]).sum()) > 50

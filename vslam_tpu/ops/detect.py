@@ -83,29 +83,39 @@ def detect_corners(
     max_resp = jnp.max(resp)
     resp = jnp.where(resp >= quality_level * max_resp, resp, -jnp.inf)
 
-    # max-pool NMS: keep strict local maxima in (2r+1)^2 window
+    # max-pool NMS: keep strict local maxima in (2r+1)^2 window.
+    # separable (17x1 then 1x17) — XLA does not decompose 2D reduce_window
+    # and the naive version dominated the whole tracking step on TPU.
     k = 2 * min_distance + 1
     pooled = lax.reduce_window(
-        resp,
-        -jnp.inf,
-        lax.max,
-        window_dimensions=(k, k),
-        window_strides=(1, 1),
-        padding="SAME",
-    )
+        resp, -jnp.inf, lax.max,
+        window_dimensions=(k, 1), window_strides=(1, 1), padding="SAME")
+    pooled = lax.reduce_window(
+        pooled, -jnp.inf, lax.max,
+        window_dimensions=(1, k), window_strides=(1, 1), padding="SAME")
     is_max = resp >= pooled
     resp = jnp.where(is_max, resp, -jnp.inf)
 
-    flat = resp.reshape(-1)
-    if jax.default_backend() == "tpu":
-        # TPU-optimized approximate top-k: far cheaper to compile and run
-        # than exact top_k over ~360k responses; recall 0.99 loses at most a
-        # few of the weakest corners
-        vals, idx = lax.approx_max_k(flat, num_features, recall_target=0.99)
-    else:
-        vals, idx = lax.top_k(flat, num_features)
-    yy = (idx // w).astype(jnp.float32)
-    xx = (idx % w).astype(jnp.float32)
+    # lossless candidate reduction: NMS winners are > min_distance apart
+    # (Chebyshev), so an (min_distance x min_distance) block holds at most
+    # one winner — block-reduce then exact top-k over the small candidate
+    # set instead of all H*W responses.
+    b = min_distance
+    hb, wb = -(-h // b), -(-w // b)
+    resp_p = jnp.full((hb * b, wb * b), -jnp.inf, resp.dtype)
+    resp_p = resp_p.at[:h, :w].set(resp)
+    blocks = resp_p.reshape(hb, b, wb, b).transpose(0, 2, 1, 3).reshape(
+        hb, wb, b * b)
+    blk_val = jnp.max(blocks, axis=-1)                  # [hb, wb]
+    blk_arg = jnp.argmax(blocks, axis=-1)               # offset within block
+
+    flat_val = blk_val.reshape(-1)
+    vals, idx = lax.top_k(flat_val, num_features)       # over hb*wb only
+    by = idx // wb
+    bx = idx % wb
+    off = blk_arg.reshape(-1)[idx]
+    yy = (by * b + off // b).astype(jnp.float32)
+    xx = (bx * b + off % b).astype(jnp.float32)
     valid = jnp.isfinite(vals)
     corners = jnp.stack([xx, yy], axis=-1)
     corners = jnp.where(valid[:, None], corners, -1.0)

@@ -136,10 +136,15 @@ def insert_keyframe(
     intr0,
     intr1,
     cam_name: str = "ds",
+    enabled=True,          # scalar bool: False = no-op (for vmapped
+                           # multi-sequence batches where only some
+                           # sequences take a keyframe this step)
 ) -> KeyframeResult:
     N = feats_l.corners.shape[0]
     Lmax = lm.pos.shape[0]
-    slot = kf.next_slot
+    enabled = jnp.asarray(enabled)
+    Kcap = kf.frame_id.shape[0]
+    slot = jnp.where(enabled, kf.next_slot, Kcap)  # OOB -> writes dropped
 
     # ---------------- write keyframe record ----------------
     T_w_c_r = lie.se3_mul(T_w_c, T_0_1)
@@ -148,22 +153,23 @@ def insert_keyframe(
                       describe_ops.pack_bits(feats_r.bits)])    # [2, N, 32]
     kp_valid = jnp.stack([feats_l.valid, feats_r.valid])
     kf = kf._replace(
-        frame_id=kf.frame_id.at[slot].set(frame_id.astype(jnp.int32)),
-        pose_l=kf.pose_l.at[slot].set(T_w_c),
-        pose_r=kf.pose_r.at[slot].set(T_w_c_r),
-        valid=kf.valid.at[slot].set(True),
-        active=kf.active.at[slot].set(True),
-        parent=kf.parent.at[slot].set(parent_slot),
-        corners=kf.corners.at[slot].set(corners),
-        desc=kf.desc.at[slot].set(desc),
-        kp_valid=kf.kp_valid.at[slot].set(kp_valid),
-        next_slot=kf.next_slot + 1,
+        frame_id=kf.frame_id.at[slot].set(frame_id.astype(jnp.int32),
+                                          mode="drop"),
+        pose_l=kf.pose_l.at[slot].set(T_w_c, mode="drop"),
+        pose_r=kf.pose_r.at[slot].set(T_w_c_r, mode="drop"),
+        valid=kf.valid.at[slot].set(True, mode="drop"),
+        active=kf.active.at[slot].set(True, mode="drop"),
+        parent=kf.parent.at[slot].set(parent_slot, mode="drop"),
+        corners=kf.corners.at[slot].set(corners, mode="drop"),
+        desc=kf.desc.at[slot].set(desc, mode="drop"),
+        kp_valid=kf.kp_valid.at[slot].set(kp_valid, mode="drop"),
+        next_slot=kf.next_slot + enabled.astype(jnp.int32),
     )
 
     # ------------- attach observations of tracked inliers -------------
     # dedupe: keep one feature per landmark (scatter; duplicate rows collapse)
     feat_ids = jnp.arange(N, dtype=jnp.int32)
-    tracked = lm_inlier & (match_lm >= 0)
+    tracked = lm_inlier & (match_lm >= 0) & enabled
     rows = jnp.where(tracked, match_lm, 0)
 
     lm_obs = _scatter_obs(lm.obs_kf, lm.obs_cam, lm.obs_feat,
@@ -189,7 +195,8 @@ def insert_keyframe(
         jnp.where(tracked, rows, Lcap)].set(True, mode="drop"))
 
     # ------------------- triangulate new landmarks -------------------
-    is_new = stereo_inlier & (stereo_j >= 0) & ~tracked & feats_l.valid
+    is_new = (stereo_inlier & (stereo_j >= 0) & ~tracked & feats_l.valid
+              & enabled)
     rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     new_slots = lm.next_slot + rank
     can_store = is_new & (new_slots < Lmax)
@@ -233,7 +240,7 @@ def insert_keyframe(
     mp = jnp.full((N,), -1, jnp.int32)
     mp = jnp.where(tracked, match_lm, mp)
     mp = jnp.where(m, new_slots, mp)
-    kf = kf._replace(map_points=kf.map_points.at[slot].set(mp))
+    kf = kf._replace(map_points=kf.map_points.at[slot].set(mp, mode="drop"))
 
     # ------------------- covisibility counting -------------------
     # landmarks of this KF: their all_obs entries at left cams of other KFs

@@ -70,6 +70,11 @@ class SlamSystem:
         self.tracking_ok = False
         self._key = jax.random.PRNGKey(cfg.seed)
 
+        # observability
+        from ..utils.metrics import StageTimer
+
+        self.timer = StageTimer()
+
         # place recognition / loop closure
         self.detector = LoopDetector(cfg.num_consistency)
         self.voc = None                 # trained lazily from early keyframes
@@ -235,9 +240,11 @@ class SlamSystem:
 
         if self.take_keyframe:
             assert img_r is not None, "keyframe step needs the right image"
-            info = self._keyframe_step(img_l, img_r)
+            with self.timer.stage("keyframe"):
+                info = self._keyframe_step(img_l, img_r)
         else:
-            info = self._tracking_step(img_l)
+            with self.timer.stage("track"):
+                info = self._tracking_step(img_l)
 
         # advance (slam.cpp:1299-1301,1453-1455)
         t = self.track

@@ -205,8 +205,17 @@ def solve_ba_schur(
         r = jax.vmap(one)(prob.obs_cam, prob.obs_point, prob.obs_uv)
         return _robust_cost(r, prob.obs_valid, huber)
 
-    def step(carry, _):
-        poses, points, lam, cost = carry
+    # LM loop as lax.while_loop with Ceres-style function tolerance: runs
+    # only as many iterations as needed (typ. 4-8) instead of always
+    # max_iters — the window BA is on the keyframe hot path.
+    ftol = 1e-6
+
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return (it < max_iters) & ~done
+
+    def body(carry):
+        poses, points, lam, cost, it, done = carry
         Hcc, Hpp, U, bc, bp, _ = _normal_equations(
             cam_name, prob, poses, points, huber
         )
@@ -218,20 +227,22 @@ def solve_ba_schur(
         new_points = points + dp
         new_cost = cost_of(new_poses, new_points)
         accept = new_cost < cost
+        converged = accept & ((cost - new_cost) <= ftol * jnp.abs(cost))
         poses = jnp.where(accept, new_poses, poses)
         points = jnp.where(accept, new_points, points)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         lam = jnp.clip(lam, 1e-9, 1e6)
-        return (poses, points, lam, cost), new_cost
+        # a rejected step with huge lambda means we are stuck
+        stuck = ~accept & (lam >= 1e6)
+        return poses, points, lam, cost, it + 1, converged | stuck
 
     init_cost = cost_of(prob.poses, prob.points)
-    (poses, points, lam, cost), history = lax.scan(
-        step,
-        (prob.poses, prob.points, jnp.asarray(lam0, prob.poses.dtype), init_cost),
-        None,
-        length=max_iters,
+    poses, points, lam, cost, iters, _ = lax.while_loop(
+        cond, body,
+        (prob.poses, prob.points, jnp.asarray(lam0, prob.poses.dtype),
+         init_cost, jnp.asarray(0, jnp.int32), jnp.asarray(False)),
     )
     stats = {"initial_cost": init_cost, "final_cost": cost, "lambda": lam,
-             "history": history}
+             "iterations": iters}
     return poses, points, stats
