@@ -37,7 +37,7 @@ def test_calibration_roundtrip(tmp_path):
 @pytest.mark.skipif(not os.path.isdir(SAMPLE_DIR), reason="no sample frames")
 def test_load_sample_dir_and_decode():
     seq = euroc.load_sample_dir(SAMPLE_DIR)
-    assert seq.num_frames > 100
+    assert seq.num_frames >= 100
     assert seq.timestamps[0] < seq.timestamps[-1]
     img = euroc.load_image(seq.image_paths[0][0])
     assert img.shape == (480, 752) and img.dtype == np.uint8

@@ -57,8 +57,8 @@ class SlamConfig:
     max_inview_landmarks: int = 2048       # P: compacted projection set
     lm_desc_bank: int = 4                  # descriptors kept per landmark
     window_cams: int = 24                  # 2 * (max_num_kfs + slack)
-    window_points: int = 12288
-    window_obs: int = 24576
+    window_points: int = 8192              # active landmarks, 10-KF window
+    window_obs: int = 20480
 
     # --- BoW / place recognition ---
     vocab_branching: int = 10              # DBoW2 k

@@ -123,13 +123,19 @@ def matrix_to_quat(m):
 # ---------------------------------------------------------------------------
 
 def so3_exp_quat(omega):
-    """Axis-angle [..., 3] -> quaternion [..., 4]."""
+    """Axis-angle [..., 3] -> quaternion [..., 4].
+
+    Double-where pattern throughout: sqrt/div inputs are replaced with safe
+    values on the Taylor branch, otherwise reverse-mode AD propagates
+    NaN * 0 = NaN from the untaken branch at omega = 0 (this silently
+    poisoned BA gradients).
+    """
     theta_sq = jnp.sum(omega * omega, axis=-1, keepdims=True)
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 0.0))
-    half = 0.5 * theta
     small = theta_sq < _EPS
-    # sin(theta/2)/theta
-    k = jnp.where(small, 0.5 - theta_sq / 48.0, jnp.sin(half) / jnp.where(small, 1.0, theta))
+    safe_sq = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(safe_sq)
+    half = 0.5 * theta
+    k = jnp.where(small, 0.5 - theta_sq / 48.0, jnp.sin(half) / theta)
     w = jnp.where(small, 1.0 - theta_sq / 8.0, jnp.cos(half))
     return jnp.concatenate([k * omega, w], axis=-1)
 
@@ -139,10 +145,11 @@ def so3_log(q):
     q = jnp.where(q[..., 3:4] < 0, -q, q)  # shortest arc
     qv = q[..., :3]
     qw = jnp.clip(q[..., 3:4], -1.0, 1.0)
-    n = jnp.linalg.norm(qv, axis=-1, keepdims=True)
-    small = n < 1e-7
+    n_sq = jnp.sum(qv * qv, axis=-1, keepdims=True)
+    small = n_sq < 1e-14
+    n = jnp.sqrt(jnp.where(small, 1.0, n_sq))  # double-where: AD-safe at 0
     theta = 2.0 * jnp.arctan2(n, qw)
-    k = jnp.where(small, 2.0 / jnp.maximum(qw, 1e-12), theta / jnp.where(small, 1.0, n))
+    k = jnp.where(small, 2.0 / jnp.maximum(qw, 1e-12), theta / n)
     return k * qv
 
 
@@ -161,14 +168,15 @@ def hat(w):
 def _so3_left_jacobian(omega):
     """V(omega): t = V * upsilon in se3_exp. [..., 3] -> [..., 3, 3]."""
     theta_sq = jnp.sum(omega * omega, axis=-1)[..., None, None]
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 0.0))
+    small = theta_sq < _EPS
+    safe_sq = jnp.where(small, 1.0, theta_sq)   # double-where: AD-safe at 0
+    theta = jnp.sqrt(safe_sq)
     W = hat(omega)
     W2 = W @ W
-    small = theta_sq < _EPS
     a = jnp.where(small, 0.5 - theta_sq / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta_sq))
+                  (1.0 - jnp.cos(theta)) / safe_sq)
     b = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0,
-                  (theta - jnp.sin(theta)) / jnp.where(small, 1.0, theta_sq * theta))
+                  (theta - jnp.sin(theta)) / (safe_sq * theta))
     eye = jnp.eye(3, dtype=omega.dtype)
     return eye + a * W + b * W2
 
@@ -176,17 +184,18 @@ def _so3_left_jacobian(omega):
 def _so3_left_jacobian_inv(omega):
     """V(omega)^-1, closed form."""
     theta_sq = jnp.sum(omega * omega, axis=-1)[..., None, None]
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 0.0))
+    small = theta_sq < _EPS
+    safe_sq = jnp.where(small, 1.0, theta_sq)   # double-where: AD-safe at 0
+    theta = jnp.sqrt(safe_sq)
     W = hat(omega)
     W2 = W @ W
-    small = theta_sq < _EPS
     half_theta = 0.5 * theta
     # coefficient of W2: (1 - theta*cot(theta/2)/2) / theta^2
     cot_term = jnp.where(
         small,
         1.0 / 12.0 + theta_sq / 720.0,
-        (1.0 - half_theta * jnp.cos(half_theta) / jnp.where(small, 1.0, jnp.sin(half_theta)))
-        / jnp.where(small, 1.0, theta_sq),
+        (1.0 - half_theta * jnp.cos(half_theta) / jnp.sin(half_theta))
+        / safe_sq,
     )
     eye = jnp.eye(3, dtype=omega.dtype)
     return eye - 0.5 * W + cot_term * W2

@@ -75,6 +75,12 @@ class SlamSystem:
 
         self.timer = StageTimer()
 
+        # async windowed BA (the reference's background optimize() thread,
+        # slam.cpp:1555-1565, expressed as JAX async dispatch): results are
+        # merged on a later frame once ready; new keyframes are gated on the
+        # merge like the reference's !opt_running && !opt_finished check
+        self._pending_ba = None  # (WindowProblem, poses, points)
+
         # place recognition / loop closure
         self.detector = LoopDetector(cfg.num_consistency)
         self.voc = None                 # trained lazily from early keyframes
@@ -162,6 +168,9 @@ class SlamSystem:
             self.voc = vocab_mod.train(
                 descs, k=self.cfg.vocab_branching,
                 depth=self.cfg.vocab_depth, seed=self.cfg.seed)
+            # idf weights from the per-keyframe descriptor sets (DBoW2
+            # weighting semantics)
+            vocab_mod.set_idf_weights(self.voc, self._vocab_pool)
             self.device_voc = vocab_mod.DeviceVocabulary(self.voc)
             self._vocab_pool = []
 
@@ -233,10 +242,23 @@ class SlamSystem:
         return n_closed
 
     # ------------------------------------------------------------------
+    def _merge_pending_ba(self, force: bool = False) -> bool:
+        """Merge a finished background BA (slam.cpp:1379-1408 semantics)."""
+        if self._pending_ba is None:
+            return False
+        wp, poses, points = self._pending_ba
+        if not (force or poses.is_ready()):
+            return False
+        self.kf, self.lm = ba_window.merge_window_result(
+            self.kf, self.lm, wp, poses, points)
+        self._pending_ba = None
+        return True
+
     def process_frame(self, img_l, img_r=None) -> dict:
         """One next_step. img_r required on keyframe steps."""
         cfg = self.cfg
         frame_id = self.frame
+        self._merge_pending_ba()
 
         if self.take_keyframe:
             assert img_r is not None, "keyframe step needs the right image"
@@ -275,7 +297,9 @@ class SlamSystem:
         self.track = self.track._replace(current_pose=pose)
 
         n_inl = int(res.num_inliers) if ok else 0
-        if n_inl < cfg.new_kf_min_inliers:
+        # new keyframe only when no background BA is in flight
+        # (slam.cpp:1374-1377: !opt_running && !opt_finished)
+        if n_inl < cfg.new_kf_min_inliers and self._pending_ba is None:
             self.take_keyframe = True
         return {"kind": "track", "matches": int(res.num_matches),
                 "inliers": n_inl, "ok": ok}
@@ -344,22 +368,28 @@ class SlamSystem:
             self.kf, self.lm = kf_mod.deactivate_keyframes(
                 self.kf, self.lm, jnp.asarray(mask))
 
-        # windowed BA (optimize(), synchronous for now)
-        self.kf, self.lm, ba_stats = ba_window.run_window_ba(
+        # windowed BA: launched asynchronously (optimize() background
+        # thread, slam.cpp:1510-1569) — results merge on a later frame
+        from ..solvers import ba as ba_mod
+
+        wp = ba_window.build_window_problem(
             self.kf, self.lm, self.intr0, self.intr1,
-            cam_name=self.cam_name, huber=cfg.ba_huber_px,
-            max_iters=cfg.ba_max_iters,
-            W2=cfg.window_cams // 2, Lw=cfg.window_points, O=cfg.window_obs,
-        )
+            W2=cfg.window_cams // 2, Lw=cfg.window_points, O=cfg.window_obs)
+        ba_poses, ba_points, ba_stats = ba_mod.solve_ba_schur(
+            wp.prob, cam_name=self.cam_name, huber=cfg.ba_huber_px,
+            max_iters=cfg.ba_max_iters)
+        self._pending_ba = (wp, ba_poses, ba_points)
 
         # global BA after a pose-graph correction (slam.cpp:1285-1288)
         if self.pose_graph_done:
             self.pose_graph_done = False
+            self._merge_pending_ba(force=True)
             self.kf, self.lm, _ = ba_global.run_global_ba(
                 self.kf, self.lm, self.intr0, self.intr1,
                 cam_name=self.cam_name, huber=cfg.ba_huber_px)
 
-        # current pose = optimized KF pose (slam.cpp:1291)
+        # current pose = the new keyframe's (pre-BA) pose, exactly like the
+        # reference reading cameras[fcidl] while BA runs in the background
         pose = self.kf.pose_l[slot]
         self.track = self.track._replace(current_pose=pose)
         self.last_kf_slot = slot
@@ -369,12 +399,12 @@ class SlamSystem:
                 "inliers": int(res.num_inliers),
                 "stereo_inliers": int(jnp.sum(stereo_inl)),
                 "new_landmarks": int(out.num_new),
-                "loops_closed": n_closed,
-                "ba_final_cost": float(ba_stats["final_cost"]), "ok": ok}
+                "loops_closed": n_closed, "ok": ok}
 
     # ------------------------------------------------------------------
     def keyframe_trajectory(self):
         """(frame_ids, positions) of keyframe left cams, for ATE."""
+        self._merge_pending_ba(force=True)
         valid = np.asarray(self.kf.valid)
         fids = np.asarray(self.kf.frame_id)[valid]
         poses = np.asarray(self.kf.pose_l)[valid]

@@ -24,6 +24,8 @@ if TYPE_CHECKING:
 
 def save(slam: "SlamSystem", path: str) -> None:
     """Write <path>.npz (arrays) and <path>.json (host bookkeeping)."""
+    if hasattr(slam, "_merge_pending_ba"):
+        slam._merge_pending_ba(force=True)  # settle in-flight background BA
     arrays = {}
     for name, tree in (("lm", slam.lm), ("kf", slam.kf), ("track", slam.track)):
         for field, val in tree._asdict().items():
