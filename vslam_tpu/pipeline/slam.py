@@ -402,6 +402,28 @@ class SlamSystem:
                 "loops_closed": n_closed, "ok": ok}
 
     # ------------------------------------------------------------------
+    def run_global_ba_offline(self):
+        """Offline full-map BA (the reference's offline_global_ba button,
+        slam.cpp:1724-1740)."""
+        self._merge_pending_ba(force=True)
+        self.kf, self.lm, stats = ba_global.run_global_ba(
+            self.kf, self.lm, self.intr0, self.intr1,
+            cam_name=self.cam_name, huber=self.cfg.ba_huber_px)
+        return stats
+
+    def reprojection_report(self):
+        """Per-observation reprojection errors + outlier flags
+        (compute_projections equivalent, slam.cpp:1461-1507)."""
+        from . import projections
+
+        self._merge_pending_ba(force=True)
+        return projections.compute_projections(
+            self.kf, self.lm, self.intr0, self.intr1,
+            cam_name=self.cam_name, O=self.cfg.window_obs,
+            normal_px=self.cfg.pnp_inlier_thresh_px,
+            z_threshold=self.cfg.cam_z_threshold)
+
+    # ------------------------------------------------------------------
     def keyframe_trajectory(self):
         """(frame_ids, positions) of keyframe left cams, for ATE."""
         self._merge_pending_ba(force=True)
