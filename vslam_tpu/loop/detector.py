@@ -75,11 +75,17 @@ class LoopDetector:
     def detect_candidates(self, new_slot: int, new_bow: dict,
                           covis_weights: Dict[int, int],
                           graph: Dict[int, Set[int]],
-                          min_score: float) -> List[int]:
-        """detect_loop_candidates (loop_closure_utils.h:141-263)."""
+                          min_score: float,
+                          essential_threshold: int = 30) -> List[int]:
+        """detect_loop_candidates (loop_closure_utils.h:141-263).
+
+        ``essential_threshold``: covisible keyframes below this weight
+        re-enter the shared-word counting (the reference hardcodes its
+        essential-edge default, 30, at loop_closure_utils.h:172).
+        """
         connected = set(graph.get(new_slot, ()))
-        # keyframes in the covisibility set re-enter when weight < 30
-        reinclude = {s for s in connected if covis_weights.get(s, 0) < 30}
+        reinclude = {s for s in connected
+                     if covis_weights.get(s, 0) < essential_threshold}
         counts = self.db.shared_word_counts(new_bow, exclude=connected,
                                             reinclude=reinclude)
         if not counts:
@@ -118,12 +124,14 @@ class LoopDetector:
     def detect(self, new_slot: int, new_bow: dict,
                covis_weights: Dict[int, int],
                graph: Dict[int, Set[int]],
-               covis_threshold: int) -> List[int]:
+               covis_threshold: int,
+               essential_threshold: int = 30) -> List[int]:
         """Returns consistent loop candidates; also inserts new_slot in db."""
         min_score = self.min_connected_covisible(
             new_bow, covis_weights, covis_threshold)
         candidates = self.detect_candidates(
-            new_slot, new_bow, covis_weights, graph, min_score)
+            new_slot, new_bow, covis_weights, graph, min_score,
+            essential_threshold)
 
         if not candidates:
             self.consistent_groups = []

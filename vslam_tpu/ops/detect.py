@@ -83,10 +83,15 @@ def detect_corners(
     max_resp = jnp.max(resp)
     resp = jnp.where(resp >= quality_level * max_resp, resp, -jnp.inf)
 
-    # max-pool NMS: keep strict local maxima in (2r+1)^2 window.
-    # separable (17x1 then 1x17) — XLA does not decompose 2D reduce_window
+    # max-pool NMS: keep strict local maxima. OpenCV's goodFeaturesToTrack
+    # suppresses GREEDILY from the strongest corner (points only need to be
+    # min_distance from ACCEPTED points), which keeps ~3-4x more corners
+    # than strict local maxima at the same radius; half the radius restores
+    # comparable density while staying a single fixed-shape max-pool.
+    # separable (kx1 then 1xk) — XLA does not decompose 2D reduce_window
     # and the naive version dominated the whole tracking step on TPU.
-    k = 2 * min_distance + 1
+    r_nms = max(min_distance // 2, 1)
+    k = 2 * r_nms + 1
     pooled = lax.reduce_window(
         resp, -jnp.inf, lax.max,
         window_dimensions=(k, 1), window_strides=(1, 1), padding="SAME")
@@ -96,11 +101,11 @@ def detect_corners(
     is_max = resp >= pooled
     resp = jnp.where(is_max, resp, -jnp.inf)
 
-    # lossless candidate reduction: NMS winners are > min_distance apart
-    # (Chebyshev), so an (min_distance x min_distance) block holds at most
-    # one winner — block-reduce then exact top-k over the small candidate
-    # set instead of all H*W responses.
-    b = min_distance
+    # lossless candidate reduction: NMS winners are > r_nms apart
+    # (Chebyshev), so an (r_nms x r_nms) block holds at most one winner —
+    # block-reduce then exact top-k over the small candidate set instead of
+    # all H*W responses.
+    b = r_nms
     hb, wb = -(-h // b), -(-w // b)
     resp_p = jnp.full((hb * b, wb * b), -jnp.inf, resp.dtype)
     resp_p = resp_p.at[:h, :w].set(resp)

@@ -214,7 +214,8 @@ class SlamSystem:
             self.detector.db.insert(slot, bow)  # reloc still needs the db
             return 0
         candidates = self.detector.detect(
-            slot, bow, edges, self._graph_sets(), 2 * cfg.num_cov_threshold)
+            slot, bow, edges, self._graph_sets(), 2 * cfg.num_cov_threshold,
+            essential_threshold=cfg.num_ess_threshold)
         self.last_loop_candidates = list(candidates)
         n_closed = 0
         fid = np.asarray(self.kf.frame_id)

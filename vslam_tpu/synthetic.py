@@ -83,18 +83,25 @@ class SyntheticSequence:
     points: np.ndarray       # [P, 3] world landmarks
 
 
-def make_calib(width=320, height=240) -> Calibration:
+def make_calib(width=320, height=240, cam_type="pinhole") -> Calibration:
     fx = fy = 220.0
-    intr = np.array([
-        [fx, fy, width / 2, height / 2, 0, 0, 0, 0],
-        [fx, fy, width / 2, height / 2, 0, 0, 0, 0],
-    ])
+    if cam_type == "ds":
+        # EuRoC-like double-sphere distortion
+        intr = np.array([
+            [fx, fy, width / 2, height / 2, -0.23, 0.57, 0, 0],
+            [fx, fy, width / 2, height / 2, -0.23, 0.57, 0, 0],
+        ])
+    else:
+        intr = np.array([
+            [fx, fy, width / 2, height / 2, 0, 0, 0, 0],
+            [fx, fy, width / 2, height / 2, 0, 0, 0, 0],
+        ])
     T_i_c = np.array([
         [0, 0, 0, 0, 0, 0, 1.0],
         [0.11, 0, 0, 0, 0, 0, 1.0],   # 11 cm stereo baseline (EuRoC-like)
     ])
     return Calibration(T_i_c=T_i_c, intrinsics=intr,
-                       cam_types=["pinhole", "pinhole"],
+                       cam_types=[cam_type, cam_type],
                        width=width, height=height)
 
 
@@ -102,6 +109,17 @@ def _project_pinhole_np(intr, p):
     fx, fy, cx, cy = intr[:4]
     z = np.maximum(p[..., 2], 1e-6)
     return np.stack([fx * p[..., 0] / z + cx, fy * p[..., 1] / z + cy], -1)
+
+
+def _project_np(cam_type, intr, p):
+    if cam_type == "pinhole":
+        return _project_pinhole_np(intr, p)
+    import jax.numpy as jnp
+
+    from .geometry import cameras as _cam
+
+    return np.asarray(_cam.project(cam_type, jnp.asarray(intr, jnp.float32),
+                                   jnp.asarray(p, jnp.float32)))
 
 
 def _splat(img, uv, intensity, rng):
@@ -120,9 +138,10 @@ def generate(
     height: int = 240,
     motion: str = "arc",
     seed: int = 0,
+    cam_type: str = "pinhole",
 ) -> SyntheticSequence:
     rng = np.random.RandomState(seed)
-    calib = make_calib(width, height)
+    calib = make_calib(width, height, cam_type)
 
     # landmarks: a corridor of points in front of the trajectory, or a
     # central cluster for the orbiting "loop" motion
@@ -223,7 +242,7 @@ def generate(
                     _se3_inv_np(np.asarray(
                         _compose_np(T_w_c, T_0_1))))
             pc = _se3_apply_np(T[None, :], points)
-            uv = _project_pinhole_np(calib.intrinsics[cam], pc)
+            uv = _project_np(cam_type, calib.intrinsics[cam], pc)
             img = np.full((height, width), 100, dtype=np.uint8)
             order = np.argsort(-pc[:, 2])  # far first, near overwrites
             for i in order:
