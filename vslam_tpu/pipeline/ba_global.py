@@ -69,9 +69,12 @@ def _build(kf: KeyframeState, lm: LandmarkState, intr0, intr1,
     ovalid = (okf >= 0) & (okf < K2) & lm_ok[:, None]
     opoint = jnp.broadcast_to(lm_ids[:, None], (Lw, M2))
 
+    from ..ops.compact import compact_indices
+
     flat_valid = ovalid.reshape(-1)
-    _, oidx = lax.top_k(flat_valid.astype(jnp.int32), O)
-    o_valid = flat_valid[oidx]
+    oidx, o_sel_ok = compact_indices(flat_valid, O)
+    oidx = jnp.clip(oidx, 0, flat_valid.shape[0] - 1)
+    o_valid = flat_valid[oidx] & o_sel_ok
     o_kf = okf.reshape(-1)[oidx]
     o_cam = ocam.reshape(-1)[oidx]
     o_feat = ofeat.reshape(-1)[oidx]

@@ -68,11 +68,12 @@ def build_window_problem(
     kf_to_i = kf_to_i.at[jnp.where(sel_kf_valid, sel_kf, K)].set(
         jnp.arange(W2, dtype=jnp.int32), mode="drop")
 
-    # ---- select active landmarks ----
+    # ---- select active landmarks (O(n) scatter compaction) ----
+    from ..ops.compact import compact_indices
+
     L = lm.pos.shape[0]
-    lprio = jnp.where(lm.active & lm.valid, jnp.arange(L, dtype=jnp.int32), -1)
-    _, sel_lm = lax.top_k(lprio, Lw)
-    sel_lm_valid = (lm.active & lm.valid)[sel_lm]
+    sel_lm, sel_lm_valid = compact_indices(lm.active & lm.valid, Lw)
+    sel_lm = jnp.clip(sel_lm, 0, L - 1)
 
     # ---- flatten + compact their windowed observations ----
     M = lm.obs_kf.shape[1]
@@ -85,8 +86,9 @@ def build_window_problem(
         jnp.arange(Lw, dtype=jnp.int32)[:, None], (Lw, M))
 
     flat_valid = ovalid.reshape(-1)
-    _, oidx = lax.top_k(flat_valid.astype(jnp.int32), O)
-    o_valid = flat_valid[oidx]
+    oidx, o_sel_ok = compact_indices(flat_valid, O)
+    oidx = jnp.clip(oidx, 0, flat_valid.shape[0] - 1)
+    o_valid = flat_valid[oidx] & o_sel_ok
     o_kf = okf.reshape(-1)[oidx]
     o_cam = ocam.reshape(-1)[oidx]
     o_feat = ofeat.reshape(-1)[oidx]

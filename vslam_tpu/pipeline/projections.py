@@ -61,8 +61,11 @@ def compute_projections(
     flat_lm = jnp.repeat(jnp.arange(L, dtype=jnp.int32), M)
     flat_valid = (flat_kf >= 0) & jnp.repeat(lm.valid & lm.active, M)
 
-    _, sel = lax.top_k(flat_valid.astype(jnp.int32), O)
-    o_valid = flat_valid[sel]
+    from ..ops.compact import compact_indices
+
+    sel, sel_ok = compact_indices(flat_valid, O)
+    sel = jnp.clip(sel, 0, flat_valid.shape[0] - 1)
+    o_valid = flat_valid[sel] & sel_ok
     o_kf = jnp.clip(flat_kf[sel], 0)
     o_cam = flat_cam[sel]
     o_feat = flat_feat[sel]

@@ -94,10 +94,11 @@ def track_frame(
     proj, in_view = project_landmarks(
         lm, predicted_pose, cam_name, intr0, width, height, z_threshold
     )
-    L = lm.pos.shape[0]
-    prio = jnp.where(in_view, jnp.arange(L, dtype=jnp.int32), -1)
-    _, sel = lax.top_k(prio, inview_cap)          # newest in-view slots
-    sel_valid = in_view[sel]
+    from ..ops.compact import compact_indices
+
+    sel, sel_valid = compact_indices(in_view, inview_cap, newest_first=True)
+    sel = jnp.clip(sel, 0, lm.pos.shape[0] - 1)
+    sel_valid = sel_valid & in_view[sel]
     cand_proj = proj[sel]
     cand_pos = lm.pos[sel]
 
