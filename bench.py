@@ -78,6 +78,8 @@ def main():
     from vslam_tpu.pipeline.slam import SlamSystem
 
     frames, calib, src = load_workload(use_sample)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        frames = frames[:WARMUP_FRAMES + 24]  # CPU fallback: keep it short
     cfg = SlamConfig(
         enable_relocalization=False,  # VO configuration (BoW asset-free)
         enable_loop_closure=False,

@@ -173,6 +173,22 @@ class SlamSystem:
             vocab_mod.set_idf_weights(self.voc, self._vocab_pool)
             self.device_voc = vocab_mod.DeviceVocabulary(self.voc)
             self._vocab_pool = []
+            self._backfill_bow_db()
+
+    def _backfill_bow_db(self):
+        """Insert keyframes recorded before the vocabulary existed into the
+        BoW database (their descriptors live in the keyframe state)."""
+        from ..ops import describe as describe_ops
+
+        for slot in sorted(self.slot_of_frame.values()):
+            if slot in self.detector.db.bow_of:
+                continue
+            bits = describe_ops.unpack_bits(self.kf.desc[slot, 0])
+            valid = self.kf.kp_valid[slot, 0]
+            words = np.asarray(self.device_voc.words(bits, valid))
+            bow = vocab_mod.bow_from_words(self.voc, words)
+            if bow:
+                self.detector.db.insert(slot, bow)
 
     def _bow_of(self, feats):
         if self.device_voc is None:
