@@ -68,12 +68,21 @@ def _probe_backend(timeout_s: int = 240) -> bool:
 
 def main():
     use_sample = "--sample" in sys.argv
-    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"):
+    if ("--no-probe" not in sys.argv
+            and os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")):
         if not _probe_backend():
-            os.environ["JAX_PLATFORMS"] = "cpu"
-            os.environ["PALLAS_AXON_POOL_IPS"] = ""
+            # The accelerator plugin registers at interpreter start and a
+            # dead tunnel leaves retry threads that wedge 'import jax' even
+            # under JAX_PLATFORMS=cpu — re-exec with a scrubbed env so the
+            # fresh interpreter never touches the tunnel.
             print(json.dumps({"warning": "accelerator tunnel unresponsive; "
-                              "falling back to CPU"}), file=sys.stderr)
+                              "re-exec on CPU"}), file=sys.stderr)
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PALLAS_AXON_POOL_IPS"] = ""
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(__file__),
+                       "--no-probe", *sys.argv[1:]], env)
     from vslam_tpu.config import SlamConfig
     from vslam_tpu.pipeline.slam import SlamSystem
 

@@ -57,6 +57,26 @@ def test_dbow2_text_roundtrip(tmp_path, voc):
     assert (w1 == w2).all()
 
 
+def test_native_text_parser(tmp_path, voc):
+    from vslam_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    v, descs = voc
+    path = str(tmp_path / "voc_native.txt")
+    vm.save_dbow2_text(v, path)
+    out = native.parse_vocab_text(path)
+    assert out is not None
+    k, depth, parents, is_leaf, desc_bytes, weights = out
+    assert k == v.k and depth == v.depth
+    assert len(parents) == len(v.parent) - 1  # root implicit
+    # full roundtrip through the loader (which prefers the native parser)
+    v2 = vm.load_dbow2_text(path)
+    w1, _ = vm.transform_np(v, descs[:64])
+    w2, _ = vm.transform_np(v2, descs[:64])
+    assert (w1 == w2).all()
+
+
 def test_idf_weights(voc):
     v, descs = voc
     imgs = [descs[i * 300:(i + 1) * 300] for i in range(10)]
