@@ -360,6 +360,24 @@ class SlamSystem:
         slot = int(out.slot)
         self.slot_of_frame[self.frame] = slot
 
+        # fixed-capacity headroom warnings (writes silently drop past the
+        # caps — raise max_keyframes / max_landmarks for longer runs)
+        if slot >= int(0.95 * cfg.max_keyframes) and not getattr(
+                self, "_warned_kf_cap", False):
+            self._warned_kf_cap = True
+            import sys
+
+            print(f"[vslam_tpu] WARNING: keyframe capacity nearly exhausted "
+                  f"({slot}/{cfg.max_keyframes})", file=sys.stderr)
+        n_lm = int(self.lm.next_slot)
+        if n_lm >= int(0.95 * cfg.max_landmarks) and not getattr(
+                self, "_warned_lm_cap", False):
+            self._warned_lm_cap = True
+            import sys
+
+            print(f"[vslam_tpu] WARNING: landmark capacity nearly exhausted "
+                  f"({n_lm}/{cfg.max_landmarks})", file=sys.stderr)
+
         # covisibility edges (construct_visibility_graph, threshold 10)
         w = np.asarray(out.covis_weight)
         edges = {int(s): int(w[s]) for s in np.nonzero(
