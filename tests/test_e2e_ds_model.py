@@ -11,10 +11,14 @@ from vslam_tpu.eval import ate
 from vslam_tpu.pipeline.slam import SlamSystem
 
 
-def test_vo_ds_camera_model():
+import pytest
+
+
+@pytest.mark.parametrize("cam_type", ["ds", "kb4", "eucm"])
+def test_vo_camera_models(cam_type):
     seq = synthetic.generate(num_frames=14, num_points=500, seed=7,
-                             cam_type="ds")
-    assert seq.calib.cam_types == ["ds", "ds"]
+                             cam_type=cam_type)
+    assert seq.calib.cam_types == [cam_type, cam_type]
     cfg = SlamConfig(
         num_features=400, ransac_hypotheses=128, max_landmarks=8192,
         max_keyframes=64, max_inview_landmarks=512, window_cams=24,
@@ -23,10 +27,10 @@ def test_vo_ds_camera_model():
         new_kf_min_inliers=60,
     )
     slam = SlamSystem(seq.calib, cfg)
-    assert slam.cam_name == "ds"
+    assert slam.cam_name == cam_type
     for img_l, img_r in seq.images:
         slam.process_frame(img_l, img_r)
     fids, est_pos, _ = slam.keyframe_trajectory()
     assert len(fids) >= 3
     _, _, rmse = ate.align_svd(est_pos, seq.poses[fids, :3])
-    assert rmse < 0.12, f"ds-model ATE {rmse:.3f} m"
+    assert rmse < 0.12, f"{cam_type}-model ATE {rmse:.3f} m"

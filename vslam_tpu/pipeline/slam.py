@@ -118,6 +118,7 @@ class SlamSystem:
             min_matches=cfg.ransac_min_matches,
             quality_level=cfg.quality_level,
             min_distance=cfg.min_distance,
+            rotate_features=cfg.rotate_features,
         )
         return res, predicted
 
@@ -341,7 +342,8 @@ class SlamSystem:
         feats_r = extract_features(jnp.asarray(img_r),
                                    num_features=cfg.num_features,
                                    quality_level=cfg.quality_level,
-                                   min_distance=cfg.min_distance)
+                                   min_distance=cfg.min_distance,
+                                   rotate_features=cfg.rotate_features)
         stereo_j, stereo_inl = kf_mod.stereo_match(
             res.feats, feats_r, self.T_0_1, self.intr0, self.intr1,
             cam_name=self.cam_name, threshold=cfg.match_max_dist,

@@ -61,7 +61,8 @@ def project_landmarks(lm: LandmarkState, T_w_c, cam_name, intr, width, height,
 @functools.partial(
     jax.jit,
     static_argnames=("cam_name", "num_features", "inview_cap", "width",
-                     "height", "num_hypotheses", "min_distance"),
+                     "height", "num_hypotheses", "min_distance",
+                     "rotate_features"),
 )
 def track_frame(
     key,
@@ -85,10 +86,12 @@ def track_frame(
     min_matches: int = 10,
     quality_level: float = 0.01,
     min_distance: int = 8,
+    rotate_features: bool = True,
 ) -> TrackResult:
     feats = extract_features(img_l, num_features=num_features,
                              quality_level=quality_level,
-                             min_distance=min_distance)
+                             min_distance=min_distance,
+                             rotate_features=rotate_features)
 
     # ---- project + compact in-view landmarks (newest-first) ----
     proj, in_view = project_landmarks(

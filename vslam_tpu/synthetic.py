@@ -87,15 +87,15 @@ def make_calib(width=320, height=240, cam_type="pinhole") -> Calibration:
     fx = fy = 220.0
     if cam_type == "ds":
         # EuRoC-like double-sphere distortion
-        intr = np.array([
-            [fx, fy, width / 2, height / 2, -0.23, 0.57, 0, 0],
-            [fx, fy, width / 2, height / 2, -0.23, 0.57, 0, 0],
-        ])
+        row = [fx, fy, width / 2, height / 2, -0.23, 0.57, 0, 0]
+    elif cam_type == "kb4":
+        row = [fx, fy, width / 2, height / 2, 0.007, -0.0014, -0.0003,
+               -0.0005]
+    elif cam_type == "eucm":
+        row = [fx, fy, width / 2, height / 2, 0.51, 0.9, 0, 0]
     else:
-        intr = np.array([
-            [fx, fy, width / 2, height / 2, 0, 0, 0, 0],
-            [fx, fy, width / 2, height / 2, 0, 0, 0, 0],
-        ])
+        row = [fx, fy, width / 2, height / 2, 0, 0, 0, 0]
+    intr = np.array([row, row])
     T_i_c = np.array([
         [0, 0, 0, 0, 0, 0, 1.0],
         [0.11, 0, 0, 0, 0, 0, 1.0],   # 11 cm stereo baseline (EuRoC-like)
