@@ -1,0 +1,99 @@
+"""Learned frontend trained on the synthetic world and swapped into the
+Hamming matcher (BASELINE configs[4] stretch path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vslam_tpu import synthetic
+from vslam_tpu.models import superpoint as sp
+from vslam_tpu.models.learned_frontend import extract_features_learned
+from vslam_tpu.ops import hamming
+from vslam_tpu.synthetic import (_compose_np, _project_np, _se3_apply_np,
+                                 _se3_inv_np)
+
+
+def make_training_batch(seq, frames):
+    """Supervised batch from the generator's exact corner/correspondence GT."""
+    h, w = seq.images[0][0].shape
+    imgs_a, imgs_b, heats_a, heats_b, uvs_a, uvs_b, valids = \
+        [], [], [], [], [], [], []
+    T01 = np.concatenate([seq.calib.T_i_c[1][:3], seq.calib.T_i_c[1][3:]])
+    m = 48
+    for f in frames:
+        T_w_l = seq.poses[f]
+        T_w_r = _compose_np(T_w_l, T01)
+        pc_l = _se3_apply_np(_se3_inv_np(T_w_l)[None], seq.points)
+        pc_r = _se3_apply_np(_se3_inv_np(T_w_r)[None], seq.points)
+        uv_l = _project_np("pinhole", seq.calib.intrinsics[0], pc_l)
+        uv_r = _project_np("pinhole", seq.calib.intrinsics[1], pc_r)
+        vis = ((pc_l[:, 2] > 0.5) & (pc_r[:, 2] > 0.5)
+               & (uv_l[:, 0] > 8) & (uv_l[:, 0] < w - 8)
+               & (uv_l[:, 1] > 8) & (uv_l[:, 1] < h - 8)
+               & (uv_r[:, 0] > 8) & (uv_r[:, 0] < w - 8)
+               & (uv_r[:, 1] > 8) & (uv_r[:, 1] < h - 8))
+        ids = np.nonzero(vis)[0][:m]
+        heat_a = np.zeros((h, w))
+        heat_b = np.zeros((h, w))
+        ia = uv_l[ids].round().astype(int)
+        ib = uv_r[ids].round().astype(int)
+        heat_a[ia[:, 1], ia[:, 0]] = 1.0
+        heat_b[ib[:, 1], ib[:, 0]] = 1.0
+        pad = m - len(ids)
+        uva = np.pad(uv_l[ids], ((0, pad), (0, 0)))
+        uvb = np.pad(uv_r[ids], ((0, pad), (0, 0)))
+        val = np.arange(m) < len(ids)
+        imgs_a.append(seq.images[f][0][..., None] / 255.0)
+        imgs_b.append(seq.images[f][1][..., None] / 255.0)
+        heats_a.append(heat_a)
+        heats_b.append(heat_b)
+        uvs_a.append(uva)
+        uvs_b.append(uvb)
+        valids.append(val)
+    return {
+        "img_a": jnp.asarray(np.stack(imgs_a), jnp.float32),
+        "img_b": jnp.asarray(np.stack(imgs_b), jnp.float32),
+        "heat_a": jnp.asarray(np.stack(heats_a), jnp.float32),
+        "heat_b": jnp.asarray(np.stack(heats_b), jnp.float32),
+        "uv_a": jnp.asarray(np.stack(uvs_a), jnp.float32),
+        "uv_b": jnp.asarray(np.stack(uvs_b), jnp.float32),
+        "valid": jnp.asarray(np.stack(valids)),
+    }
+
+
+@pytest.mark.slow
+def test_learned_frontend_stereo_matching():
+    seq = synthetic.generate(num_frames=6, num_points=400, seed=4)
+    model = sp.SuperPointTPU(dim=64, width=8)
+    batch = make_training_batch(seq, [0, 2])
+    params = model.init(jax.random.PRNGKey(0), batch["img_a"])
+    tx = optax.adam(2e-3)
+    opt_state = tx.init(params)
+    step = jax.jit(sp.make_train_step(model, tx))
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8
+
+    # swap into the matcher: stereo pair through learned features + Hamming
+    img_l, img_r = seq.images[4]
+    fl = extract_features_learned(model, params, jnp.asarray(img_l),
+                                  num_features=256)
+    fr = extract_features_learned(model, params, jnp.asarray(img_r),
+                                  num_features=256)
+    assert int(fl.valid.sum()) > 30
+    mj, acc = hamming.match_descriptors(fl.bits, fr.bits, fl.valid, fr.valid,
+                                        threshold=90, ratio=1.1)
+    n_matches = int(acc.sum())
+    assert n_matches >= 10, f"only {n_matches} learned-descriptor matches"
+
+    # matched pairs should be epipolar-plausible: similar y (rectified-ish
+    # stereo with baseline along x)
+    cl = np.asarray(fl.corners)
+    cr = np.asarray(fr.corners)
+    sel = np.asarray(acc)
+    dy = np.abs(cl[sel, 1] - cr[np.asarray(mj)[sel], 1])
+    assert np.median(dy) < 3.0, np.median(dy)

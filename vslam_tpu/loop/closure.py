@@ -26,7 +26,6 @@ for the heavy work:
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Sequence, Set, Tuple
 
 import jax

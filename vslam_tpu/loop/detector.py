@@ -20,7 +20,7 @@ here so thresholds behave identically.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 from . import vocabulary as vocab_mod
 

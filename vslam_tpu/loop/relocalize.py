@@ -8,7 +8,7 @@ constant-velocity motion gate; bounded retries per candidate.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Set, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -16,9 +16,6 @@ the collectives.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ are tiny next to observations).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -28,7 +28,6 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from ..frontend.features import Features
 from ..geometry import cameras as cam_models

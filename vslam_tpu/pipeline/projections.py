@@ -16,7 +16,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from ..core.state import KeyframeState, LandmarkState
 from ..geometry import cameras as cam_models

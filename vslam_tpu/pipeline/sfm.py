@@ -14,7 +14,7 @@ corner arrays, and reuse the batched device solvers (triangulation, PnP).
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

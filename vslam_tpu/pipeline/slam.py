@@ -14,7 +14,6 @@ localization inlier count drops below ``new_kf_min_inliers``.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, Optional
 
 import jax

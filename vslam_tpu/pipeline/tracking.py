@@ -22,14 +22,12 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from ..frontend.features import Features, extract_features
 from ..geometry import cameras as cam_models
 from ..geometry import lie
 from ..ops import hamming
 from ..solvers import pnp
-from .. import config as config_mod
 from ..core.state import LandmarkState
 
 

@@ -16,7 +16,6 @@ from typing import List, Tuple
 
 import numpy as np
 
-from .geometry import lie as _lie
 from .io.calib import Calibration
 
 # pure-numpy pose helpers (no jax dependency for data generation)

@@ -8,8 +8,6 @@ and writes PNGs — usable from the CLI for debugging runs frame by frame.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import numpy as np
 
 
