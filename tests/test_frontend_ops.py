@@ -164,10 +164,11 @@ def test_match_landmarks_gate_and_ratio():
     bank_valid = np.ones((3, 2), bool)
     kp_xy = jnp.asarray([[10.0, 10], [50, 50], [90, 90], [10, 50], [50, 10], [70, 70]])
     proj = jnp.asarray([[12.0, 11], [52, 49], [200, 200]])  # lm2 out of gate reach
-    mj, acc = hamming.match_landmarks(
+    mj, acc, had = hamming.match_landmarks(
         kp_bits, jnp.ones(6, bool), jnp.asarray(bank), jnp.asarray(bank_valid),
         kp_xy, proj, jnp.ones(3, bool), max_dist_2d=20.0)
     assert int(mj[0]) == 0 and bool(acc[0])
     assert int(mj[1]) == 1 and bool(acc[1])
     # kp2 has no landmark within 20 px
-    assert not bool(acc[2])
+    assert not bool(acc[2]) and not bool(had[2])
+    assert bool(had[0]) and bool(had[1])

@@ -42,6 +42,10 @@ class SlamConfig:
 
     # --- RANSAC / BA (slam.cpp:298-309) ---
     pnp_inlier_thresh_px: float = 3.0      # hidden.pnp_inlier_thresh
+    # framework extra (off = reference parity): skip triangulating features
+    # that had a gated landmark candidate — avoids near-duplicate landmarks
+    # that erode the second-best ratio test
+    suppress_duplicate_landmarks: bool = False
     ba_huber_px: float = 1.0               # hidden.ba_huber_width
     ba_max_iters: int = 20                 # BundleAdjustmentOptions
     ba_optimize_intrinsics: bool = False

@@ -137,7 +137,7 @@ def match_landmarks(
             lm_proj_xy, lm_valid, max_dist_2d)
         ok = (any_c & (b1 < threshold)
               & ~(b2.astype(jnp.float32) < b1 * ratio))
-        return jnp.where(ok, arg, -1), ok
+        return jnp.where(ok, arg, -1), ok, any_c
     p, b, _ = lm_bank_bits.shape
     flat_bits = lm_bank_bits.reshape(p * b, 256)
     flat_valid = lm_bank_valid.reshape(p * b) & jnp.repeat(lm_valid, b)
@@ -158,4 +158,4 @@ def match_landmarks(
         & (b1 < threshold)
         & ~(b2.astype(jnp.float32) < b1 * ratio)
     )
-    return jnp.where(ok, arg, -1), ok
+    return jnp.where(ok, arg, -1), ok, any_candidate

@@ -138,6 +138,11 @@ def insert_keyframe(
     enabled=True,          # scalar bool: False = no-op (for vmapped
                            # multi-sequence batches where only some
                            # sequences take a keyframe this step)
+    suppress_new=None,     # [N] bool: don't triangulate these features
+                           # (duplicate-landmark suppression; the reference
+                           # triangulates every unmatched stereo inlier,
+                           # creating near-duplicate landmarks that erode
+                           # the ratio test)
 ) -> KeyframeResult:
     N = feats_l.corners.shape[0]
     Lmax = lm.pos.shape[0]
@@ -196,6 +201,8 @@ def insert_keyframe(
     # ------------------- triangulate new landmarks -------------------
     is_new = (stereo_inlier & (stereo_j >= 0) & ~tracked & feats_l.valid
               & enabled)
+    if suppress_new is not None:
+        is_new = is_new & ~suppress_new
     rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     new_slots = lm.next_slot + rank
     can_store = is_new & (new_slots < Lmax)

@@ -350,12 +350,14 @@ class SlamSystem:
             epipolar_threshold=cfg.epipolar_error_threshold,
         )
 
+        suppress = (res.had_candidate
+                    if cfg.suppress_duplicate_landmarks else None)
         out = kf_mod.insert_keyframe(
             self.kf, self.lm, jnp.asarray(self.frame, jnp.int32),
             jnp.asarray(self.last_kf_slot, jnp.int32), pose, self.T_0_1,
             res.feats, feats_r, stereo_j, stereo_inl,
             res.match_lm, res.inlier, self.intr0, self.intr1,
-            cam_name=self.cam_name,
+            cam_name=self.cam_name, suppress_new=suppress,
         )
         self.kf, self.lm = out.kf, out.lm
         slot = int(out.slot)

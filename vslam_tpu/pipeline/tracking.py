@@ -35,6 +35,9 @@ class TrackResult(NamedTuple):
     feats: Features
     match_lm: jnp.ndarray      # [N] int32 global landmark slot or -1
     inlier: jnp.ndarray        # [N] bool (subset of matches)
+    had_candidate: jnp.ndarray  # [N] bool: a gated landmark candidate
+    #                             existed (even if the ratio test failed) —
+    #                             used for duplicate-landmark suppression
     T_w_c: jnp.ndarray         # [7] estimated pose (RANSAC+GN result)
     num_matches: jnp.ndarray   # [] int32
     num_inliers: jnp.ndarray   # [] int32
@@ -104,7 +107,7 @@ def track_frame(
     cand_pos = lm.pos[sel]
 
     # ---- guided landmark matching ----
-    match_local, m_ok = hamming.match_landmarks(
+    match_local, m_ok, had_cand = hamming.match_landmarks(
         feats.bits, feats.valid,
         lm.bank_bits[sel], lm.bank_valid[sel],
         feats.corners, cand_proj, sel_valid,
@@ -135,6 +138,7 @@ def track_frame(
         feats=feats,
         match_lm=match_lm,
         inlier=inlier,
+        had_candidate=had_cand,
         T_w_c=T_w_c,
         num_matches=num_matches,
         num_inliers=jnp.where(enough, num_inl, 0),
