@@ -72,6 +72,9 @@ class SlamConfig:
     # --- runtime ---
     dtype: str = "float32"
     seed: int = 0
+    # debug: assert all state arrays stay finite after every frame (the
+    # functional analogue of the reference's debug NaN-poisoned Eigen)
+    debug_checks: bool = False
 
     @classmethod
     def from_json(cls, path: str) -> "SlamConfig":

@@ -43,6 +43,8 @@ def build_window_problem(
 ) -> WindowProblem:
     K = kf.frame_id.shape[0]
     dtype = kf.pose_l.dtype
+    W2 = min(W2, K)          # tiny-capacity configs
+    Lw = min(Lw, lm.pos.shape[0])
 
     # ---- select active KF pairs (newest-first; window is small) ----
     act = kf.valid & kf.active

@@ -294,6 +294,10 @@ class SlamSystem:
         self.frame += 1
         info["frame"] = frame_id
         self.stats.append(info)
+        if cfg.debug_checks:
+            from ..utils.debug import assert_finite_state
+
+            assert_finite_state(self)
         return info
 
     # ------------------------------------------------------------------
