@@ -52,6 +52,25 @@ def test_pose_graph_closes_loop():
     assert float(stats["final_cost"]) < float(stats["initial_cost"])
 
 
+def test_pose_graph_cg_matches_dense():
+    from vslam_tpu.solvers.pose_graph_cg import solve_pose_graph_cg
+
+    gt, poses0, (ei, ej, meas) = make_chain(n=8, drift=0.4)
+    E = len(ei)
+    prob = pg.PoseGraphProblem(
+        poses=poses0,
+        fixed=jnp.arange(8) == 0,
+        edge_i=ei.astype(jnp.int32), edge_j=ej.astype(jnp.int32),
+        edge_meas=meas, edge_valid=jnp.ones(E, bool))
+    dense, s1 = pg.solve_pose_graph(prob, max_iters=25)
+    cg, s2 = solve_pose_graph_cg(prob, max_iters=25, cg_iters=40)
+    # both reach the same cost basin
+    assert float(s2["final_cost"]) < float(s2["initial_cost"]) * 0.2
+    assert float(s2["final_cost"]) < float(s1["final_cost"]) * 1.5 + 1e-3
+    np.testing.assert_allclose(np.asarray(cg[:, :3]),
+                               np.asarray(dense[:, :3]), atol=0.05)
+
+
 def test_pose_graph_respects_fixed_and_padding():
     gt, poses0, (ei, ej, meas) = make_chain(n=6, drift=0.2)
     # pad edges

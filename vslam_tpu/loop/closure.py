@@ -220,8 +220,15 @@ def loop_closure(
                 np.float32)),
         edge_valid=jnp.asarray(np.arange(E_pad) < E),
     )
-    opt_poses, stats = pose_graph.solve_pose_graph(
-        prob, huber=huber, max_iters=max_iters)
+    if K <= 1024:
+        opt_poses, stats = pose_graph.solve_pose_graph(
+            prob, huber=huber, max_iters=max_iters)
+    else:
+        # dense (6K)^2 assembly stops scaling; matrix-free CG is O(K+E)
+        from ..solvers.pose_graph_cg import solve_pose_graph_cg
+
+        opt_poses, stats = solve_pose_graph_cg(
+            prob, huber=huber, max_iters=max_iters)
 
     # scatter back + stereo + landmark updates
     new_left = np.asarray(kf.pose_l).copy()
