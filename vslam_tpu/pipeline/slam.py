@@ -86,6 +86,7 @@ class SlamSystem:
         self.device_voc = None
         self._vocab_pool: List[np.ndarray] = []
         self.loop_edges: List[tuple] = []
+        self.last_loop_candidates: List[int] = []
         self.pose_graph_done = False
 
     # ------------------------------------------------------------------
@@ -119,6 +120,12 @@ class SlamSystem:
             min_distance=cfg.min_distance,
             rotate_features=cfg.rotate_features,
         )
+        # one host transfer for all per-frame scalars (each separate int()/
+        # float() costs a device sync — expensive through the TPU tunnel)
+        nm, ni, me, ok = jax.device_get(
+            (res.num_matches, res.num_inliers, res.motion_err, res.pnp_ok))
+        self._scalars = {"matches": int(nm), "inliers": int(ni),
+                         "motion_err": float(me), "pnp_ok": bool(ok)}
         return res, predicted
 
     def _apply_motion_gate(self, res, img_l):
@@ -126,12 +133,11 @@ class SlamSystem:
         cfg = self.cfg
         if not cfg.enable_relocalization:
             # plain localize_camera: accept PnP result
-            ok = bool(res.pnp_ok)
-            return res, ok
-        if not bool(res.pnp_ok):
+            return res, self._scalars["pnp_ok"]
+        if not self._scalars["pnp_ok"]:
             return res, False
         retries = 0
-        while float(res.motion_err) > cfg.motion_threshold:
+        while self._scalars["motion_err"] > cfg.motion_threshold:
             retries += 1
             if retries > cfg.track_max_retries:
                 return res, False
@@ -317,12 +323,12 @@ class SlamSystem:
         self.tracking_ok = ok if cfg.enable_relocalization else self.tracking_ok
         self.track = self.track._replace(current_pose=pose)
 
-        n_inl = int(res.num_inliers) if ok else 0
+        n_inl = self._scalars["inliers"] if ok else 0
         # new keyframe only when no background BA is in flight
         # (slam.cpp:1374-1377: !opt_running && !opt_finished)
         if n_inl < cfg.new_kf_min_inliers and self._pending_ba is None:
             self.take_keyframe = True
-        return {"kind": "track", "matches": int(res.num_matches),
+        return {"kind": "track", "matches": self._scalars["matches"],
                 "inliers": n_inl, "ok": ok}
 
     # ------------------------------------------------------------------
@@ -333,7 +339,7 @@ class SlamSystem:
         res, _ = self._run_tracking(img_l)
         res, ok = self._apply_motion_gate(res, img_l)
         if ok or not cfg.enable_relocalization:
-            pose = res.T_w_c if bool(res.pnp_ok) else self._lost_pose()
+            pose = res.T_w_c if self._scalars["pnp_ok"] else self._lost_pose()
         else:
             pose = self._lost_pose()
             r_ok, r_pose = self._try_relocalize(res)
@@ -437,8 +443,8 @@ class SlamSystem:
         self.last_kf_slot = slot
 
         return {"kind": "keyframe", "slot": slot,
-                "matches": int(res.num_matches),
-                "inliers": int(res.num_inliers),
+                "matches": self._scalars["matches"],
+                "inliers": self._scalars["inliers"],
                 "stereo_inliers": int(jnp.sum(stereo_inl)),
                 "new_landmarks": int(out.num_new),
                 "loops_closed": n_closed, "ok": ok}
