@@ -160,11 +160,20 @@ def loop_closure(
     n_kf = int(kf.next_slot)
     poses_pre = np.asarray(kf.pose_l)  # pre-align snapshot (measurements)
 
-    # ---- loop_align: re-pose current KF's covisible neighbors ----
+    # ---- loop_align: re-pose the current KF and its covisible neighbors ----
+    # loop_closure_utils.h:398-415 computes cur_kf.T_w_c = T_w_cand * sim3 and
+    # neighbors relative to it. (The reference passes `Camera cur_kf` BY VALUE
+    # through loop_closure/loop_align, so its own write of the aligned current
+    # pose is silently lost and only the neighbors move; the current KF then
+    # stays at the drifted pose, the loop edge drags the WHOLE old map into
+    # the drifted gauge, and the next windowed BA fights the seam across the
+    # current KF's observations. We keep the written semantics — the aligned
+    # current pose is applied — which anchors the old map in place and makes
+    # the post-closure state self-consistent.)
     T_cur_pre = jnp.asarray(poses_pre[cur_slot])
     T_cur_aligned = lie.se3_mul(kf.pose_l[cand_slot], sim3)
-    pose_l = kf.pose_l
-    pose_r = kf.pose_r
+    pose_l = kf.pose_l.at[cur_slot].set(T_cur_aligned)
+    pose_r = kf.pose_r.at[cur_slot].set(lie.se3_mul(T_cur_aligned, T_0_1))
     for nbr in covis.get(cur_slot, {}):
         rel = lie.se3_mul(lie.se3_inv(T_cur_pre),
                           jnp.asarray(poses_pre[nbr]))
