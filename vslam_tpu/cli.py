@@ -62,8 +62,7 @@ def main(argv=None):
     if args.voc_path:
         from .loop import vocabulary as vocab_mod
 
-        slam.voc = vocab_mod.load_dbow2_text(args.voc_path)
-        slam.device_voc = vocab_mod.DeviceVocabulary(slam.voc)
+        slam.set_vocabulary(vocab_mod.load_dbow2_text(args.voc_path))
         print(f"Loaded vocabulary: {slam.voc.num_words} words",
               file=sys.stderr)
 

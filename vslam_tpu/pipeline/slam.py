@@ -155,6 +155,19 @@ class SlamSystem:
     def _needs_bow(self):
         return self.cfg.enable_loop_closure or self.cfg.enable_relocalization
 
+    def set_vocabulary(self, voc) -> None:
+        """Install a pretrained BoW vocabulary (slam.cpp:370-380 loads
+        ORBvoc.txt the same way — before any keyframe is processed).
+
+        Accepts a vocabulary from ``loop.vocabulary.train`` or
+        ``loop.vocabulary.load_dbow2_text``. Keyframes inserted before the
+        call are backfilled into the recognition database.
+        """
+        self.voc = voc
+        self.device_voc = vocab_mod.DeviceVocabulary(voc)
+        self._vocab_pool = []
+        self._backfill_bow_db()
+
     def _maybe_train_vocab(self, feats):
         """Train the BoW vocabulary online from early keyframe descriptors.
 
