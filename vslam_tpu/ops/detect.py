@@ -40,14 +40,34 @@ def _conv2same(img, kernel):
     return out[0, 0]
 
 
+def _shift(a, dy: int, dx: int):
+    """a translated so out[y, x] = a[y+dy, x+dx], zero outside (SAME pad)."""
+    h, w = a.shape
+    p = jnp.pad(a, ((1, 1), (1, 1)))
+    return lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w))
+
+
 def shi_tomasi_response(img):
-    """Min-eigenvalue corner response. img [H, W] float32 in [0, 255]."""
-    ix = _conv2same(img, SOBEL_X)
-    iy = _conv2same(img, SOBEL_Y)
-    box = jnp.ones((3, 3), dtype=jnp.float32)
-    sxx = _conv2same(ix * ix, box)
-    syy = _conv2same(iy * iy, box)
-    sxy = _conv2same(ix * iy, box)
+    """Min-eigenvalue corner response. img [H, W] float32 in [0, 255].
+
+    All 3x3 kernels (Sobel, box) are separable, so the response is built
+    from 1-pixel shifts and adds instead of lax.conv: XLA fuses the whole
+    thing into elementwise code, where small-kernel conv lowers poorly on
+    CPU (~25x slower end to end) and adds nothing on TPU.
+    """
+    # Sobel X = [1,2,1]^T (x) [-1,0,1]  (cross-correlation, zero-padded SAME)
+    col = _shift(img, -1, 0) + 2.0 * img + _shift(img, 1, 0)
+    ix = _shift(col, 0, 1) - _shift(col, 0, -1)
+    row = _shift(img, 0, -1) + 2.0 * img + _shift(img, 0, 1)
+    iy = _shift(row, 1, 0) - _shift(row, -1, 0)
+
+    def box3(a):
+        v = _shift(a, -1, 0) + a + _shift(a, 1, 0)
+        return _shift(v, 0, -1) + v + _shift(v, 0, 1)
+
+    sxx = box3(ix * ix)
+    syy = box3(iy * iy)
+    sxy = box3(ix * iy)
     # lambda_min = (sxx+syy)/2 - sqrt(((sxx-syy)/2)^2 + sxy^2)
     half_trace = 0.5 * (sxx + syy)
     d = 0.5 * (sxx - syy)

@@ -54,10 +54,19 @@ def distance_matrix(bits_a, bits_b, valid_a=None, valid_b=None):
 
 
 def _top2_min(d, axis):
-    """(best, second-best) minima along axis."""
-    neg = -d
-    v2, _ = lax.top_k(jnp.moveaxis(neg, axis, -1), 2)
-    return -v2[..., 0], -v2[..., 1]
+    """(best, second-best) minima along axis.
+
+    Two masked min-passes instead of lax.top_k: XLA lowers top_k to a
+    per-row sort on CPU (~40x slower at [1.5k, 2k]) and the k=2 case only
+    needs O(n) scans. Ties behave identically (argmin takes the first
+    occurrence; an equal value elsewhere remains as second-best).
+    """
+    m = jnp.moveaxis(d, axis, -1)
+    b1 = jnp.min(m, axis=-1)
+    arg = jnp.argmin(m, axis=-1)
+    iota = jnp.arange(m.shape[-1], dtype=arg.dtype)
+    b2 = jnp.min(jnp.where(iota == arg[..., None], PAD_DIST, m), axis=-1)
+    return b1, b2
 
 
 def match_table(dist, threshold: int = 70, ratio: float = 1.2):
