@@ -214,11 +214,23 @@ def solve_ba_schur(
         _, _, _, _, it, done = carry
         return (it < max_iters) & ~done
 
+    gtol = 0.05  # relative gradient tolerance (see done_grad below)
+
     def body(carry):
         poses, points, lam, cost, it, done = carry
         Hcc, Hpp, U, bc, bp, _ = _normal_equations(
             cam_name, prob, poses, points, huber
         )
+        # gradient termination: at a (local) optimum every step is rejected
+        # and the loop would otherwise spin through max_iters full Schur
+        # solves ratcheting lambda up to the stuck limit. g_inf is ~0.3 at
+        # convergence vs ~1e4 one millimetre away on a window-sized problem,
+        # so a relative threshold exits after a single iteration.
+        free_c = (~prob.pose_fixed)[:, None].astype(bc.dtype)
+        g_inf = jnp.maximum(
+            jnp.max(jnp.abs(bc) * free_c),
+            jnp.max(jnp.abs(bp) * prob.point_valid[:, None].astype(bp.dtype)))
+        done_grad = g_inf <= gtol * (1.0 + cost)
         dc, dp = _schur_solve(
             Hcc, Hpp, U, bc, bp, prob.pose_fixed, prob.point_valid, lam
         )
@@ -235,7 +247,7 @@ def solve_ba_schur(
         lam = jnp.clip(lam, 1e-9, 1e6)
         # a rejected step with huge lambda means we are stuck
         stuck = ~accept & (lam >= 1e6)
-        return poses, points, lam, cost, it + 1, converged | stuck
+        return poses, points, lam, cost, it + 1, converged | stuck | done_grad
 
     init_cost = cost_of(prob.poses, prob.points)
     poses, points, lam, cost, iters, _ = lax.while_loop(
