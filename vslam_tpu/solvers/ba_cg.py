@@ -69,9 +69,15 @@ def solve_ba_cg(
         return _robust_cost(r, prob.obs_valid, huber)
 
     zero = (jnp.zeros((K, 6), dtype), jnp.zeros((L, 3), dtype))
+    ftol = 1e-6
+    gtol = 0.05  # relative gradient tolerance (same scale as solvers/ba.py)
 
-    def step(carry, _):
-        poses, points, lam, cost = carry
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return (it < max_iters) & ~done
+
+    def step(carry):
+        poses, points, lam, cost, it, done = carry
         p0 = BAProblem(poses=poses, points=points, **{
             f: getattr(prob, f) for f in prob._fields
             if f not in ("poses", "points")})
@@ -99,6 +105,8 @@ def solve_ba_cg(
 
         g = JTu(r0w)
         b = (-g[0] * free_c, -g[1] * free_p)
+        g_inf = jnp.maximum(jnp.max(jnp.abs(b[0])), jnp.max(jnp.abs(b[1])))
+        done_grad = g_inf <= gtol * (1.0 + cost)
 
         def dot(a, bb):
             return jnp.vdot(a[0], bb[0]) + jnp.vdot(a[1], bb[1])
@@ -127,15 +135,19 @@ def solve_ba_cg(
                                                points=new_points))(*zero),
             prob.obs_valid, huber)
         accept = new_cost < cost
+        converged = accept & ((cost - new_cost) <= ftol * jnp.abs(cost))
         poses = jnp.where(accept, new_poses, poses)
         points = jnp.where(accept, new_points, points)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e8)
-        return (poses, points, lam, cost), new_cost
+        stuck = ~accept & (lam >= 1e8)
+        return (poses, points, lam, cost, it + 1,
+                converged | stuck | done_grad)
 
     init_cost = cost_of(*zero)
-    (poses, points, lam, cost), history = lax.scan(
-        step, (prob.poses, prob.points, jnp.asarray(lam0, dtype), init_cost),
-        None, length=max_iters)
+    poses, points, lam, cost, iters, _ = lax.while_loop(
+        cond, step,
+        (prob.poses, prob.points, jnp.asarray(lam0, dtype), init_cost,
+         jnp.asarray(0, jnp.int32), jnp.asarray(False)))
     return poses, points, {"initial_cost": init_cost, "final_cost": cost,
-                           "history": history}
+                           "iterations": iters}
