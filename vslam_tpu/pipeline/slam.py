@@ -78,7 +78,7 @@ class SlamSystem:
         # slam.cpp:1555-1565, expressed as JAX async dispatch): results are
         # merged on a later frame once ready; new keyframes are gated on the
         # merge like the reference's !opt_running && !opt_finished check
-        self._pending_ba = None  # (WindowProblem, poses, points)
+        self._pending_ba = None  # (WindowProblem, poses, points, intr2|None)
 
         # place recognition / loop closure
         self.detector = LoopDetector(cfg.num_consistency)
@@ -282,11 +282,15 @@ class SlamSystem:
         """Merge a finished background BA (slam.cpp:1379-1408 semantics)."""
         if self._pending_ba is None:
             return False
-        wp, poses, points = self._pending_ba
+        wp, poses, points, intr2 = self._pending_ba
         if not (force or poses.is_ready()):
             return False
         self.kf, self.lm = ba_window.merge_window_result(
             self.kf, self.lm, wp, poses, points)
+        if intr2 is not None:
+            # calib_cam = calib_cam_opt (slam.cpp:1406)
+            self.intr0 = intr2[0]
+            self.intr1 = intr2[1]
         self._pending_ba = None
         return True
 
@@ -436,10 +440,19 @@ class SlamSystem:
         wp = ba_window.build_window_problem(
             self.kf, self.lm, self.intr0, self.intr1,
             W2=cfg.window_cams // 2, Lw=cfg.window_points, O=cfg.window_obs)
-        ba_poses, ba_points, ba_stats = ba_mod.solve_ba_schur(
-            wp.prob, cam_name=self.cam_name, huber=cfg.ba_huber_px,
-            max_iters=cfg.ba_max_iters)
-        self._pending_ba = (wp, ba_poses, ba_points)
+        if cfg.ba_optimize_intrinsics:
+            # hidden.ba_opt_intrinsics -> free intrinsics blocks in the
+            # window BA (slam.cpp:1545, map_utils.h:397-403)
+            ba_poses, ba_points, ba_intr, ba_stats = (
+                ba_mod.solve_ba_schur_intrinsics(
+                    wp.prob, cam_name=self.cam_name, huber=cfg.ba_huber_px,
+                    max_iters=cfg.ba_max_iters))
+        else:
+            ba_poses, ba_points, ba_stats = ba_mod.solve_ba_schur(
+                wp.prob, cam_name=self.cam_name, huber=cfg.ba_huber_px,
+                max_iters=cfg.ba_max_iters)
+            ba_intr = None
+        self._pending_ba = (wp, ba_poses, ba_points, ba_intr)
 
         # global BA after a pose-graph correction (slam.cpp:1285-1288)
         if self.pose_graph_done:

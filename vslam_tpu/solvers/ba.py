@@ -140,6 +140,136 @@ def _normal_equations(cam_name, prob: BAProblem, poses, points, huber):
     return Hcc, Hpp, U, bc, bp, r
 
 
+def _obs_residual_jac_intr(cam_name, prob: BAProblem, poses, points, intr2):
+    """Like _obs_residual_jac but with intrinsics as variables.
+
+    intr2 [2, 8] holds the physical left/right intrinsics; camera row k uses
+    block k % 2 (build_window_problem interleaves left/right rows). Returns
+    (r [O,2], Jc [O,2,6], Jp [O,2,3], Ji [O,2,8]).
+    """
+
+    def one(cam_i, pt_i, uv):
+        T = poses[cam_i]
+        X = points[pt_i]
+        base = intr2[cam_i % 2]
+
+        def r_of(delta, dX, di):
+            return _project_obs(cam_name, base + di,
+                                lie.se3_retract(T, delta), X + dX, uv)
+
+        d0 = jnp.zeros(6, dtype=poses.dtype)
+        x0 = jnp.zeros(3, dtype=points.dtype)
+        i0 = jnp.zeros(8, dtype=intr2.dtype)
+        r = r_of(d0, x0, i0)
+        Jc = jax.jacfwd(r_of, argnums=0)(d0, x0, i0)
+        Jp = jax.jacfwd(r_of, argnums=1)(d0, x0, i0)
+        Ji = jax.jacfwd(r_of, argnums=2)(d0, x0, i0)
+        return r, Jc, Jp, Ji
+
+    return jax.vmap(one)(prob.obs_cam, prob.obs_point, prob.obs_uv)
+
+
+def _normal_equations_intr(cam_name, prob: BAProblem, poses, points, intr2,
+                           huber):
+    """Normal equations with two shared intrinsics blocks (8 params each).
+
+    Returns the _normal_equations outputs plus
+    (Hii [2,8,8], bi [2,8], Hci [K,6,8], Upi [L,2,3,8]).
+    """
+    K = poses.shape[0]
+    L = points.shape[0]
+    r, Jc, Jp, Ji = _obs_residual_jac_intr(cam_name, prob, poses, points,
+                                           intr2)
+    r, Jc, Jp, Ji = _sanitize(r), _sanitize(Jc), _sanitize(Jp), _sanitize(Ji)
+    sw = _huber_weights(r, huber) * prob.obs_valid.astype(r.dtype)
+    r = r * sw[:, None]
+    Jc = Jc * sw[:, None, None]
+    Jp = Jp * sw[:, None, None]
+    Ji = Ji * sw[:, None, None]
+
+    Hcc_o = jnp.einsum("oia,oib->oab", Jc, Jc)
+    Hpp_o = jnp.einsum("oia,oib->oab", Jp, Jp)
+    W_o = jnp.einsum("oia,oib->oab", Jc, Jp)
+    bc_o = jnp.einsum("oia,oi->oa", Jc, r)
+    bp_o = jnp.einsum("oia,oi->oa", Jp, r)
+
+    Hcc = jax.ops.segment_sum(Hcc_o, prob.obs_cam, num_segments=K)
+    Hpp = jax.ops.segment_sum(Hpp_o, prob.obs_point, num_segments=L)
+    bc = jax.ops.segment_sum(bc_o, prob.obs_cam, num_segments=K)
+    bp = jax.ops.segment_sum(bp_o, prob.obs_point, num_segments=L)
+    pair_id = prob.obs_cam * L + prob.obs_point
+    U = jax.ops.segment_sum(W_o, pair_id, num_segments=K * L)
+    U = U.reshape(K, L, 6, 3).transpose(0, 2, 1, 3)
+
+    iid = prob.obs_cam % 2
+    Hii = jax.ops.segment_sum(
+        jnp.einsum("oia,oib->oab", Ji, Ji), iid, num_segments=2)
+    bi = jax.ops.segment_sum(
+        jnp.einsum("oia,oi->oa", Ji, r), iid, num_segments=2)
+    # camera row k couples only with intrinsics block k % 2
+    Hci = jax.ops.segment_sum(
+        jnp.einsum("oia,oib->oab", Jc, Ji), prob.obs_cam, num_segments=K)
+    Upi = jax.ops.segment_sum(
+        jnp.einsum("oia,oib->oab", Jp, Ji), prob.obs_point * 2 + iid,
+        num_segments=2 * L).reshape(L, 2, 3, 8)
+    return Hcc, Hpp, U, bc, bp, r, Hii, bi, Hci, Upi
+
+
+def _schur_solve_intr(Hcc, Hpp, U, bc, bp, Hii, bi, Hci, Upi,
+                      pose_fixed, point_valid, lam):
+    """Point-eliminated solve of the camera+intrinsics reduced system."""
+    K = Hcc.shape[0]
+    L = Hpp.shape[0]
+    dtype = Hcc.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    Hpp_d = Hpp + (lam + 1e-8) * eye3
+    Hpp_d = jnp.where(point_valid[:, None, None], Hpp_d, eye3)
+    Hpp_inv = jnp.linalg.inv(Hpp_d)
+    Hpp_inv = jnp.where(point_valid[:, None, None], Hpp_inv, 0.0)
+
+    T1 = jnp.einsum("kalb,lbc->kalc", U, Hpp_inv)           # [K,6,L,3]
+    S_off = jnp.einsum("kalb,mclb->kacm", T1, U).transpose(0, 1, 3, 2)
+    S = -S_off
+    S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc + lam * eye6)
+
+    # camera-intrinsics coupling: direct term on block k%2, point-mediated
+    # term on both blocks
+    S_ci = -jnp.einsum("kalb,lmbe->kame", T1, Upi)          # [K,6,2,8]
+    k_iid = jnp.arange(K) % 2
+    S_ci = S_ci.at[jnp.arange(K), :, k_iid, :].add(Hci)
+
+    # intrinsics-intrinsics reduced block
+    Y = jnp.einsum("lbc,lnce->lbne", Hpp_inv, Upi)          # [L,3,2,8]
+    S_ii = -jnp.einsum("lmbe,lbnf->menf", Upi, Y)           # [2,8,2,8]
+    S_ii = S_ii.at[jnp.arange(2), :, jnp.arange(2), :].add(
+        Hii + lam * jnp.eye(8, dtype=dtype))
+
+    y = jnp.einsum("lbc,lc->lb", Hpp_inv, bp)               # [L,3]
+    rhs_c = -(bc - jnp.einsum("kalb,lb->ka", T1, bp))       # [K,6]
+    rhs_i = -(bi - jnp.einsum("lmbe,lb->me", Upi, y))       # [2,8]
+
+    # gauge fixing on camera rows, then assemble the dense system
+    free = jnp.repeat(~pose_fixed, 6)
+    Sf = S.reshape(6 * K, 6 * K)
+    Sf = jnp.where(free[:, None] & free[None, :], Sf, 0.0)
+    Sf = Sf + jnp.diag(jnp.where(free, 0.0, 1.0))
+    Cf = S_ci.reshape(6 * K, 16) * free[:, None]
+    A = jnp.block([[Sf, Cf], [Cf.T, S_ii.reshape(16, 16)]])
+    rhs = jnp.concatenate([rhs_c.reshape(-1) * free, rhs_i.reshape(-1)])
+
+    delta = jnp.nan_to_num(jnp.linalg.solve(A, rhs))
+    delta_c = delta[:6 * K].reshape(K, 6)
+    delta_i = delta[6 * K:].reshape(2, 8)
+
+    rhs_p = (-bp - jnp.einsum("kalb,ka->lb", U, delta_c)
+             - jnp.einsum("lmbe,me->lb", Upi, delta_i))
+    delta_p = jnp.einsum("lab,lb->la", Hpp_inv, rhs_p)
+    delta_p = jnp.where(point_valid[:, None], delta_p, 0.0)
+    return delta_c, delta_p, delta_i
+
+
 def _schur_solve(Hcc, Hpp, U, bc, bp, pose_fixed, point_valid, lam):
     """Solve the damped normal equations by eliminating points."""
     K = Hcc.shape[0]
@@ -258,3 +388,79 @@ def solve_ba_schur(
     stats = {"initial_cost": init_cost, "final_cost": cost, "lambda": lam,
              "iterations": iters}
     return poses, points, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cam_name", "max_iters"))
+def solve_ba_schur_intrinsics(
+    prob: BAProblem,
+    cam_name: str = "ds",
+    huber: float = 1.0,
+    max_iters: int = 20,
+    lam0: float = 1e-4,
+):
+    """LM bundle adjustment jointly optimizing the shared intrinsics.
+
+    The reference's BundleAdjustmentOptions.optimize_intrinsics leaves the
+    two intrinsics parameter blocks free in the Ceres problem
+    (map_utils.h:397-403, wired from ui hidden.ba_opt_intrinsics at
+    slam.cpp:1545). Here the two 8-vectors join the reduced camera system
+    after point elimination (camera rows interleave left/right, so row k
+    shares block k % 2). Returns (poses [K,7], points [L,3], intr2 [2,8],
+    stats).
+    """
+    intr2_0 = jnp.stack([prob.intr[0], prob.intr[1]])
+
+    def cost_of(poses, points, intr2):
+        def one(cam_i, pt_i, uv):
+            return _project_obs(cam_name, intr2[cam_i % 2], poses[cam_i],
+                                points[pt_i], uv)
+
+        r = jax.vmap(one)(prob.obs_cam, prob.obs_point, prob.obs_uv)
+        return _robust_cost(r, prob.obs_valid, huber)
+
+    ftol = 1e-6
+    gtol = 0.05
+
+    def cond(carry):
+        return (carry[-2] < max_iters) & ~carry[-1]
+
+    def body(carry):
+        poses, points, intr2, lam, cost, it, done = carry
+        (Hcc, Hpp, U, bc, bp, _, Hii, bi, Hci, Upi) = _normal_equations_intr(
+            cam_name, prob, poses, points, intr2, huber)
+        free_c = (~prob.pose_fixed)[:, None].astype(bc.dtype)
+        g_inf = jnp.maximum(
+            jnp.maximum(
+                jnp.max(jnp.abs(bc) * free_c),
+                jnp.max(jnp.abs(bp)
+                        * prob.point_valid[:, None].astype(bp.dtype))),
+            jnp.max(jnp.abs(bi)))
+        done_grad = g_inf <= gtol * (1.0 + cost)
+        dc, dp, di = _schur_solve_intr(
+            Hcc, Hpp, U, bc, bp, Hii, bi, Hci, Upi,
+            prob.pose_fixed, prob.point_valid, lam)
+        new_poses = jax.vmap(lie.se3_retract)(poses, dc)
+        new_poses = jnp.where(prob.pose_fixed[:, None], poses, new_poses)
+        new_points = points + dp
+        new_intr = intr2 + di
+        new_cost = cost_of(new_poses, new_points, new_intr)
+        accept = new_cost < cost
+        converged = accept & ((cost - new_cost) <= ftol * jnp.abs(cost))
+        poses = jnp.where(accept, new_poses, poses)
+        points = jnp.where(accept, new_points, points)
+        intr2 = jnp.where(accept, new_intr, intr2)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        stuck = ~accept & (lam >= 1e6)
+        return (poses, points, intr2, lam, cost, it + 1,
+                converged | stuck | done_grad)
+
+    init_cost = cost_of(prob.poses, prob.points, intr2_0)
+    poses, points, intr2, lam, cost, iters, _ = lax.while_loop(
+        cond, body,
+        (prob.poses, prob.points, intr2_0,
+         jnp.asarray(lam0, prob.poses.dtype), init_cost,
+         jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+    stats = {"initial_cost": init_cost, "final_cost": cost, "lambda": lam,
+             "iterations": iters}
+    return poses, points, intr2, stats
