@@ -129,7 +129,12 @@ class SlamSystem:
         return res, predicted
 
     def _apply_motion_gate(self, res, img_l):
-        """track_camera semantics (tracking.h:57-161) incl. retry loop."""
+        """track_camera semantics (tracking.h:57-161) incl. retry loop.
+
+        Gate-failure retries redraw only the RANSAC localization on the
+        already-computed match set (tracking.h:90-160 loops over the solver,
+        not the frontend; detection/matching are deterministic here).
+        """
         cfg = self.cfg
         if not cfg.enable_relocalization:
             # plain localize_camera: accept PnP result
@@ -141,7 +146,18 @@ class SlamSystem:
             retries += 1
             if retries > cfg.track_max_retries:
                 return res, False
-            res, _ = self._run_tracking(img_l)
+            res = tracking.retry_localize(
+                self._next_key(), res, self.lm, self._predicted_pose(),
+                self.track.current_pose, self.track.vel, self.intr0,
+                cam_name=self.cam_name, pnp_threshold=self.pnp_threshold,
+                num_hypotheses=cfg.ransac_hypotheses,
+                min_matches=cfg.ransac_min_matches)
+            ni, me, ok = jax.device_get(
+                (res.num_inliers, res.motion_err, res.pnp_ok))
+            self._scalars.update(inliers=int(ni), motion_err=float(me),
+                                 pnp_ok=bool(ok))
+            if not ok:
+                return res, False
         return res, True
 
     def _lost_pose(self):

@@ -145,3 +145,50 @@ def track_frame(
         motion_err=err,
         pnp_ok=enough,
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam_name", "num_hypotheses", "min_matches"))
+def retry_localize(
+    key,
+    res: TrackResult,
+    lm: LandmarkState,
+    predicted_pose,
+    gate_pose,
+    vel,
+    intr0,
+    cam_name: str = "ds",
+    pnp_threshold: float = 0.000018,
+    num_hypotheses: int = 256,
+    min_matches: int = 10,
+) -> TrackResult:
+    """Redraw the RANSAC localization on an existing match set.
+
+    The reference's track_camera retry loop (tracking.h:90-160) re-runs only
+    the randomized RANSAC on the same landmark matches, up to 5 times, when
+    the motion gate rejects the pose. Detection/matching are deterministic,
+    so re-running the full track_frame would recompute identical features
+    just to redraw hypotheses — this redoes only the PnP + gate.
+    """
+    feats = res.feats
+    bearings = cam_models.unproject(cam_name, intr0, feats.corners)
+    m_ok = res.match_lm >= 0
+    points = lm.pos[jnp.clip(res.match_lm, 0)]
+    T_ransac, inlier, num_inl, pnp_valid = pnp.ransac_pnp(
+        key, points, bearings, m_ok, pnp_threshold,
+        num_hypotheses=num_hypotheses,
+    )
+    enough = (res.num_matches >= min_matches) & pnp_valid
+    T_w_c = jnp.where(enough, T_ransac, predicted_pose)
+    inlier = inlier & enough & m_ok
+
+    se3_vel = lie.se3_log(lie.se3_mul(lie.se3_inv(gate_pose), T_w_c))
+    err = jnp.sum(jnp.abs(se3_vel[:3] - lie.se3_log(vel)[:3]))
+    err = jnp.where(jnp.isfinite(err), err, jnp.inf)
+    return res._replace(
+        T_w_c=T_w_c,
+        inlier=inlier,
+        num_inliers=jnp.where(enough, num_inl, 0),
+        motion_err=err,
+        pnp_ok=enough,
+    )
