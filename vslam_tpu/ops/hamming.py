@@ -62,8 +62,8 @@ def _top2_min(d, axis):
     occurrence; an equal value elsewhere remains as second-best).
     """
     m = jnp.moveaxis(d, axis, -1)
-    b1 = jnp.min(m, axis=-1)
     arg = jnp.argmin(m, axis=-1)
+    b1 = jnp.take_along_axis(m, arg[..., None], -1)[..., 0]
     iota = jnp.arange(m.shape[-1], dtype=arg.dtype)
     b2 = jnp.min(jnp.where(iota == arg[..., None], PAD_DIST, m), axis=-1)
     return b1, b2
