@@ -67,3 +67,30 @@ def test_sharded_ba_matches_single_device():
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=5e-3)
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=5e-3)
     assert float(s1["final_cost"]) < float(s1["initial_cost"]) * 0.9
+
+
+def test_ba_on_second_device_matches_single_device():
+    """cfg.ba_device places the async window BA on another chip. Merge
+    timing then differs from the same-chip run (the solve overlaps
+    tracking, like the reference's background thread), so assert tracking
+    quality rather than bitwise identity."""
+    import numpy as np
+
+    from vslam_tpu import synthetic
+    from vslam_tpu.eval import ate
+    from vslam_tpu.pipeline.slam import SlamSystem
+    from tests.test_e2e_vo import small_config
+
+    seq = synthetic.generate(num_frames=12, num_points=500, seed=3)
+
+    def run(dev):
+        cfg = small_config()
+        cfg.ba_device = dev
+        slam = SlamSystem(seq.calib, cfg)
+        for l, r in seq.images:
+            slam.process_frame(l, r)
+        fids, pos, _ = slam.keyframe_trajectory()
+        return ate.align_svd(pos, seq.poses[fids, :3])[2]
+
+    assert run(None) < 0.15
+    assert run(1) < 0.15

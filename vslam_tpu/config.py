@@ -62,6 +62,10 @@ class SlamConfig:
     window_cams: int = 24                  # 2 * (max_num_kfs + slack)
     window_points: int = 8192              # active landmarks, 10-KF window
     window_obs: int = 20480
+    # place the async window BA on this jax.devices() index (None = same
+    # chip); on a multi-chip topology the solve then genuinely overlaps
+    # tracking instead of sharing the tracking chip's queue
+    ba_device: "int | None" = None
 
     # --- BoW / place recognition ---
     vocab_branching: int = 10              # DBoW2 k

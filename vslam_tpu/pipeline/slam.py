@@ -301,6 +301,17 @@ class SlamSystem:
         wp, poses, points, intr2 = self._pending_ba
         if not (force or poses.is_ready()):
             return False
+        if self.cfg.ba_device is not None:
+            # bring the off-chip solve home (merge needs colocated inputs;
+            # only the selection tables + results transfer, not the problem)
+            dev0 = jax.devices()[0]
+            moved = jax.device_put(
+                (wp.sel_kf, wp.sel_kf_valid, wp.sel_lm, wp.sel_lm_valid,
+                 poses, points), dev0)
+            wp = ba_window.WindowProblem(None, *moved[:4])
+            poses, points = moved[4:]
+            if intr2 is not None:
+                intr2 = jax.device_put(intr2, dev0)
         self.kf, self.lm = ba_window.merge_window_result(
             self.kf, self.lm, wp, poses, points)
         if intr2 is not None:
@@ -456,6 +467,12 @@ class SlamSystem:
         wp = ba_window.build_window_problem(
             self.kf, self.lm, self.intr0, self.intr1,
             W2=cfg.window_cams // 2, Lw=cfg.window_points, O=cfg.window_obs)
+        if cfg.ba_device is not None:
+            # place the background solve on another chip so it genuinely
+            # overlaps tracking (the reference's opt thread shares one CPU;
+            # here the tracking chip stays free of BA kernels)
+            dev = jax.devices()[cfg.ba_device % len(jax.devices())]
+            wp = jax.device_put(wp, dev)
         if cfg.ba_optimize_intrinsics:
             # hidden.ba_opt_intrinsics -> free intrinsics blocks in the
             # window BA (slam.cpp:1545, map_utils.h:397-403)
