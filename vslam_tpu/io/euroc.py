@@ -16,10 +16,8 @@ else PIL. A background prefetch thread keeps decode off the critical path.
 
 from __future__ import annotations
 
-import csv
 import dataclasses
 import os
-import queue
 import threading
 from typing import List, Optional, Tuple
 

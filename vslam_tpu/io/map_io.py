@@ -14,7 +14,7 @@ so the reference's ``scripts/load_map.py`` can consume our maps unchanged.
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

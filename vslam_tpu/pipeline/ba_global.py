@@ -18,7 +18,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.state import KeyframeState, LandmarkState
 from ..geometry import lie

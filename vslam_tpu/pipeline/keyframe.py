@@ -24,7 +24,7 @@ one observation per (landmark, camera), mirroring the reference's map
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ import dataclasses
 
 import numpy as np
 
-from .io.calib import Calibration
 from .synthetic import SyntheticSequence, _compose_np, _look_at, make_calib
 
 

@@ -11,10 +11,8 @@ a run can stop and resume exactly.
 from __future__ import annotations
 
 import json
-import os
 from typing import TYPE_CHECKING
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -8,9 +8,7 @@ assert every array in the SLAM state is finite after each frame
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def find_nonfinite(tree, mask_tree=None) -> dict:
