@@ -100,10 +100,17 @@ def solve_pose_graph(prob: PoseGraphProblem, huber: float = 1.0,
         return H, g.reshape(6 * K)
 
     free = jnp.repeat(~prob.fixed, 6)
+    ftol = 1e-8
+    gtol = 1e-4  # pose-graph residuals are rad/m scale (not pixels)
 
-    def step(carry, _):
-        poses, lam, cost = carry
+    def cond(carry):
+        return (carry[-2] < max_iters) & ~carry[-1]
+
+    def step(carry):
+        poses, lam, cost, it, done = carry
         H, g = build_system(poses)
+        g_inf = jnp.max(jnp.abs(jnp.where(free, g, 0.0)))
+        done_grad = g_inf <= gtol * (1.0 + cost)
         H = H + lam * jnp.eye(6 * K, dtype=dtype)
         H = jnp.where(free[:, None] & free[None, :], H, 0.0)
         H = H + jnp.diag(jnp.where(free, 0.0, 1.0))
@@ -113,14 +120,16 @@ def solve_pose_graph(prob: PoseGraphProblem, huber: float = 1.0,
         new_poses = jnp.where(prob.fixed[:, None], poses, new_poses)
         new_cost = _robust_cost(new_poses, prob, huber)
         accept = new_cost < cost
+        converged = accept & ((cost - new_cost) <= ftol * jnp.abs(cost))
         poses = jnp.where(accept, new_poses, poses)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-12, 1e6)
-        return (poses, lam, cost), new_cost
+        stuck = ~accept & (lam >= 1e6)
+        return poses, lam, cost, it + 1, converged | stuck | done_grad
 
     init_cost = _robust_cost(prob.poses, prob, huber)
-    (poses, lam, cost), hist = lax.scan(
-        step, (prob.poses, jnp.asarray(lam0, dtype), init_cost), None,
-        length=max_iters)
+    poses, lam, cost, iters, _ = lax.while_loop(
+        cond, step, (prob.poses, jnp.asarray(lam0, dtype), init_cost,
+                     jnp.asarray(0, jnp.int32), jnp.asarray(False)))
     return poses, {"initial_cost": init_cost, "final_cost": cost,
-                   "history": hist}
+                   "iterations": iters}
