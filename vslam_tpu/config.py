@@ -53,12 +53,26 @@ class SlamConfig:
     ransac_min_matches: int = 10           # vo_utils.h:181
     ransac_hypotheses: int = 256           # batched-RANSAC width (TPU-native)
     track_max_retries: int = 5             # tracking.h:87
+    # constant-velocity runaway guard (framework extra; the reference keeps
+    # integrating a stale velocity through weak frames): decay the velocity
+    # model toward rest when a frame is lost or localized on few inliers.
+    enable_vel_decay: bool = True
+    vel_decay_factor: float = 0.5
+    vel_decay_inlier_floor: int = 20
 
     # --- fixed capacities (TPU static shapes) ---
     max_keyframes: int = 2048              # KF pairs over a full run
     max_landmarks: int = 65536
     max_inview_landmarks: int = 2048       # P: compacted projection set
     lm_desc_bank: int = 4                  # descriptors kept per landmark
+    # landmark slot recycling: when the valid count crosses the pressure
+    # fraction, weakly-observed dead landmarks (< lm_cull_min_obs lifetime
+    # left-cam observations, no windowed obs) are culled and their slots
+    # reused (ORB-SLAM-style culling; the reference's unbounded map never
+    # needs this). 1.0 disables recycling below a full map.
+    lm_cull_pressure: float = 0.8
+    lm_cull_min_obs: int = 3
+    enable_lm_culling: bool = True
     window_cams: int = 24                  # 2 * (max_num_kfs + slack)
     window_points: int = 8192              # active landmarks, 10-KF window
     window_obs: int = 20480
@@ -72,6 +86,15 @@ class SlamConfig:
     vocab_depth: int = 4                   # DBoW2 L (ORBvoc uses 6)
     bow_levels_up: int = 4                 # transform(..., levelsup=4)
     reloc_max_candidates: int = 5          # tracking.h:214-217
+    # geometric loop verification (framework extra — the reference's
+    # landmark-fusion verification is an empty stub,
+    # loop_closure_utils.h:424-428, and perceptually-aliased candidates
+    # wreck its map): project the candidate side's map points through the
+    # proposed correction and demand independent gated descriptor matches.
+    enable_loop_verification: bool = True
+    loop_verify_min_inliers: int = 30      # absolute match floor
+    loop_verify_min_ratio: float = 0.15    # matched / visible floor
+    loop_verify_px: float = 15.0           # reprojection gate (pixels)
 
     # --- runtime ---
     dtype: str = "float32"

@@ -26,6 +26,7 @@ for the heavy work:
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Sequence, Set, Tuple
 
 import jax
@@ -36,6 +37,8 @@ from ..core.state import KeyframeState, LandmarkState
 from ..geometry import cameras as cam_models
 from ..geometry import lie
 from ..ops import describe as describe_ops
+from ..ops import hamming
+from ..ops.compact import compact_indices
 from ..solvers import pnp, pose_graph
 from . import matching
 
@@ -126,6 +129,105 @@ def compute_sim3(
         if trans_l1 <= 5.0:
             return True, sim3
     return False, None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam_name", "width", "height", "cap"))
+def _verify_loop_device(
+    kf: KeyframeState,
+    lm: LandmarkState,
+    cur_slot,           # [] int32
+    kf_src_mask,        # [K] bool: candidate + its covisible neighbors
+    T_cur_aligned,      # [7] proposed corrected pose of the current KF
+    intr0,
+    cam_name: str,
+    width: int,
+    height: int,
+    z_threshold: float = 0.1,
+    px_gate: float = 15.0,
+    threshold: int = 70,
+    ratio: float = 1.2,
+    cap: int = 1024,
+):
+    """Count gated descriptor matches of candidate-side map points
+    projected through the proposed loop correction.
+
+    Returns (num_inliers, num_visible): how many of the candidate side's
+    landmarks, projected into the current keyframe via ``T_cur_aligned``,
+    find a descriptor-consistent feature within ``px_gate`` pixels — and how
+    many were in view at all. A true closure re-observes the old structure,
+    so a large fraction matches; a perceptually-aliased false closure only
+    explains the few correspondences RANSAC was fed, and the rest of the old
+    map projects onto unrelated texture.
+    """
+    L = lm.pos.shape[0]
+    mp = kf.map_points                                   # [K, N]
+    src = kf_src_mask[:, None] & (mp >= 0)
+    lm_mask = jnp.zeros((L + 1,), bool).at[
+        jnp.where(src, mp, L)].set(True, mode="drop")[:L]
+    lm_mask = lm_mask & lm.valid
+
+    p_c = lie.se3_apply(lie.se3_inv(T_cur_aligned), lm.pos)
+    proj = cam_models.project(cam_name, intr0, p_c)
+    ok = (
+        lm_mask
+        & (p_c[:, 2] >= z_threshold)
+        & (proj[:, 0] >= 0) & (proj[:, 0] <= width)
+        & (proj[:, 1] >= 0) & (proj[:, 1] <= height)
+    )
+    sel, sel_valid = compact_indices(ok, cap)
+    sel = jnp.clip(sel, 0, L - 1)
+    sel_valid = sel_valid & ok[sel]
+
+    cur_bits = describe_ops.unpack_bits(kf.desc[cur_slot, 0])
+    cur_valid = kf.kp_valid[cur_slot, 0]
+    corners = kf.corners[cur_slot, 0]
+    _, m_ok, _ = hamming.match_landmarks(
+        cur_bits, cur_valid,
+        lm.bank_bits[sel], lm.bank_valid[sel],
+        corners, proj[sel], sel_valid,
+        max_dist_2d=px_gate, threshold=threshold, ratio=ratio,
+    )
+    return jnp.sum(m_ok), jnp.sum(sel_valid)
+
+
+def verify_loop(
+    kf: KeyframeState,
+    lm: LandmarkState,
+    cur_slot: int,
+    cand_slot: int,
+    cand_neighbors: Sequence[int],
+    sim3,
+    intr0,
+    cam_name: str,
+    width: int,
+    height: int,
+    px_gate: float = 15.0,
+    threshold: int = 70,
+    ratio: float = 1.2,
+) -> Tuple[int, int]:
+    """Geometric consistency check on a proposed loop closure.
+
+    The reference accepts any compute_sim3 solution — its landmark-fusion
+    verification hook is an empty stub (loop_closure_utils.h:424-428) and
+    perceptually-aliased candidates wreck the map. This projects the
+    candidate side's map points through the proposed correction
+    ``T_w_cand * sim3`` and counts independent reprojection-consistent
+    descriptor matches (ORB-SLAM-style fused-point consistency).
+    Returns (num_inliers, num_visible); the caller applies the acceptance
+    thresholds.
+    """
+    kmask = np.zeros(kf.frame_id.shape[0], bool)
+    for s in (cand_slot, *cand_neighbors):
+        if s != cur_slot:
+            kmask[s] = True
+    T_aligned = lie.se3_mul(kf.pose_l[cand_slot], sim3)
+    n_inl, n_vis = _verify_loop_device(
+        kf, lm, jnp.asarray(cur_slot, jnp.int32), jnp.asarray(kmask),
+        T_aligned, intr0, cam_name=cam_name, width=width, height=height,
+        px_gate=px_gate, threshold=threshold, ratio=ratio)
+    return int(n_inl), int(n_vis)
 
 
 @jax.jit

@@ -159,6 +159,61 @@ def train(descriptors: np.ndarray, k: int = 10, depth: int = 4,
     return voc
 
 
+def synthetic_vocab(k: int = 10, depth: int = 6, seed: int = 0,
+                    flips_per_level: int = 12) -> Vocabulary:
+    """Procedurally generate an ORBvoc-scale tree (k=10, L=6 -> 1e6 words).
+
+    The real ORBvoc.txt (loaded by the reference at slam.cpp:370-380) is a
+    k-majority clustering of millions of ORB descriptors; training one in CI
+    is infeasible, but validating the descent/parse/scoring machinery at
+    that scale only needs a tree with the same *structure*: each child's
+    descriptor = parent's with ``flips_per_level`` random bits flipped, so
+    descriptors sampled near a leaf descend back to it (the greedy
+    per-level argmin prefers the true ancestor as long as query noise stays
+    below ~2x the sibling distance). Fully vectorized level-by-level build;
+    1.11M nodes in seconds.
+    """
+    rng = np.random.RandomState(seed)
+    level_descs = [np.zeros((1, 256), np.uint8)]
+    level_sizes = [1]
+    for lvl in range(depth):
+        par = level_descs[-1]
+        n_child = par.shape[0] * k
+        child = np.repeat(par, k, axis=0)
+        # ~flips_per_level random bit flips per child
+        mask = rng.rand(n_child, 256) < (flips_per_level / 256.0)
+        child = child ^ mask.astype(np.uint8)
+        level_descs.append(child)
+        level_sizes.append(n_child)
+
+    n_nodes = sum(level_sizes)
+    node_desc = np.concatenate(level_descs)
+    starts = np.cumsum([0] + level_sizes)          # level start offsets
+    parent = np.full(n_nodes, -1, np.int32)
+    level = np.zeros(n_nodes, np.int32)
+    children = np.full((n_nodes, k), -1, np.int32)
+    for lvl in range(1, depth + 1):
+        ids = np.arange(level_sizes[lvl], dtype=np.int32) + starts[lvl]
+        parent[ids] = starts[lvl - 1] + np.arange(level_sizes[lvl]) // k
+        level[ids] = lvl
+    for lvl in range(depth):
+        pids = np.arange(level_sizes[lvl], dtype=np.int32) + starts[lvl]
+        cids = (starts[lvl + 1]
+                + np.arange(level_sizes[lvl + 1]).reshape(-1, k))
+        children[pids] = cids
+    is_leaf = np.zeros(n_nodes, bool)
+    is_leaf[starts[depth]:] = True
+    word_of_node = np.full(n_nodes, -1, np.int32)
+    leaf_ids = np.nonzero(is_leaf)[0].astype(np.int32)
+    word_of_node[leaf_ids] = np.arange(len(leaf_ids))
+    return Vocabulary(
+        k=k, depth=depth, node_desc=node_desc, children=children,
+        is_leaf=is_leaf, word_of_node=word_of_node, node_of_word=leaf_ids,
+        weights=np.ones(len(leaf_ids), np.float32), parent=parent,
+        level=level,
+    )
+
+
 def set_idf_weights(voc: Vocabulary, image_descs: list) -> None:
     """DBoW2-style idf: log(N_images / N_images containing word)."""
     n_img = len(image_descs)

@@ -33,6 +33,7 @@ from ..frontend.features import Features
 from ..geometry import cameras as cam_models
 from ..geometry import lie
 from ..geometry.triangulate import triangulate_midpoint
+from ..ops import compact
 from ..ops import describe as describe_ops
 from ..ops import hamming
 from ..core.state import KeyframeState, LandmarkState
@@ -72,7 +73,7 @@ def stereo_match(
     f1m = f1[jnp.clip(mj, 0)]
     err = jnp.abs(jnp.einsum("ni,ij,nj->n", f0, E, f1m))
     inlier = acc & (err <= epipolar_threshold)
-    return jnp.where(inlier, mj, jnp.where(acc, mj, -1)), inlier
+    return jnp.where(inlier, mj, -1), inlier
 
 
 def _first_free(obs_kf_rows):
@@ -87,11 +88,15 @@ def _scatter_obs(kf_tab, cam_tab, feat_tab, rows, kf_val, cam_val, feat_val,
     Masked-out entries get an out-of-bounds row and are dropped by the
     scatter (mode='drop'), so they can never clobber real updates.
     Duplicate rows collapse to a single write, mirroring the reference's
-    map-emplace dedupe.
+    map-emplace dedupe. Rows whose observation table is already full are
+    dropped too (argmax over an all-False mask would otherwise alias
+    column 0 and clobber the oldest observation).
     """
     L = kf_tab.shape[0]
-    free = _first_free(kf_tab[jnp.clip(rows, 0)])
-    tgt = jnp.where(mask, rows, L)  # OOB -> dropped
+    row_tab = kf_tab[jnp.clip(rows, 0)]
+    free = _first_free(row_tab)
+    has_free = jnp.any(row_tab < 0, axis=-1)
+    tgt = jnp.where(mask & has_free, rows, L)  # OOB -> dropped
     kf_tab = kf_tab.at[tgt, free].set(kf_val, mode="drop")
     cam_tab = cam_tab.at[tgt, free].set(cam_val, mode="drop")
     feat_tab = feat_tab.at[tgt, free].set(feat_val, mode="drop")
@@ -203,16 +208,23 @@ def insert_keyframe(
               & enabled)
     if suppress_new is not None:
         is_new = is_new & ~suppress_new
-    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    new_slots = lm.next_slot + rank
-    can_store = is_new & (new_slots < Lmax)
-    nrows = jnp.where(can_store, new_slots, 0)
-
     f0 = cam_models.unproject(cam_name, intr0, feats_l.corners)
     f1 = cam_models.unproject(cam_name, intr1,
                               feats_r.corners[jnp.clip(stereo_j, 0)])
     p_c, tri_ok = triangulate_midpoint(f0, f1, T_0_1)
-    can_store = can_store & tri_ok
+    # fold triangulation validity in BEFORE slot assignment so degenerate
+    # stereo pairs never consume landmark capacity
+    is_new = is_new & tri_ok
+    # free-list allocation: new landmarks take the lowest ~valid slots, so
+    # slots released by cull_landmarks are reused instead of the map hitting
+    # a hard cliff at Lmax (the reference's hash map is unbounded,
+    # common_types.h:256-262; fixed-capacity state needs recycling instead)
+    free_idx, free_ok = compact.compact_indices(~lm.valid, N)
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    rank_c = jnp.clip(rank, 0, N - 1)
+    can_store = is_new & free_ok[rank_c]
+    new_slots = jnp.where(can_store, free_idx[rank_c], Lmax)
+    nrows = jnp.where(can_store, new_slots, 0)
     p_w = lie.se3_apply(T_w_c, p_c)
 
     m = can_store
@@ -239,8 +251,12 @@ def insert_keyframe(
     lm = _bank_add(lm, nrows, feats_l.bits, m)
     lm = _bank_add(lm, nrows, feats_r.bits[jnp.clip(stereo_j, 0)], m)
     num_new = jnp.sum(m)
-    lm = lm._replace(next_slot=jnp.minimum(lm.next_slot + jnp.sum(is_new),
-                                           Lmax).astype(jnp.int32))
+    # next_slot is the allocation high-water mark (slots below it may have
+    # been culled and re-used; validity is always lm.valid, next_slot only
+    # bounds the id range for consumers that scan prefixes)
+    hw = jnp.max(jnp.where(m, new_slots, -1)) + 1
+    lm = lm._replace(
+        next_slot=jnp.maximum(lm.next_slot, hw).astype(jnp.int32))
 
     # ------------------- per-feature landmark ids -------------------
     mp = jnp.full((N,), -1, jnp.int32)
@@ -283,3 +299,43 @@ def deactivate_keyframes(kf: KeyframeState, lm: LandmarkState, deact_mask):
     has_obs = jnp.any(obs_kf >= 0, axis=-1)
     lm = lm._replace(obs_kf=obs_kf, active=lm.valid & has_obs)
     return kf, lm
+
+
+@functools.partial(jax.jit, static_argnames=("min_lifetime_obs",))
+def cull_landmarks(kf: KeyframeState, lm: LandmarkState,
+                   min_lifetime_obs: int = 3):
+    """Free landmark slots of weakly-observed dead landmarks.
+
+    The reference's map is an unbounded hash map: landmarks that lose all
+    windowed observations stay in it forever, active=false
+    (vo_utils.h:348-365 — the erase is commented out), because loop closure
+    and relocalization project old keyframes' map points. Fixed-capacity
+    state cannot afford that: without recycling, a long sequence exhausts
+    max_landmarks and mapping silently stops.
+
+    Policy (ORB-SLAM-style landmark culling): a landmark is culled when it
+    is valid, OUT of the BA window (not active), and was seen in fewer than
+    ``min_lifetime_obs`` lifetime left-camera observations — i.e. it was
+    never corroborated beyond (roughly) its founding keyframe. Such points
+    are noise-dominated and contribute nothing to loop closure; strongly
+    observed landmarks are kept forever, exactly like the reference.
+    Every keyframe map_points reference to a culled slot is cleared so a
+    recycled slot can never alias stale references.
+
+    Returns (kf, lm, num_culled).
+    """
+    nobs = jnp.sum((lm.all_kf >= 0) & (lm.all_cam == 0), axis=-1)
+    dead = lm.valid & ~lm.active & (nobs < min_lifetime_obs)
+    mp = kf.map_points
+    mp = jnp.where((mp >= 0) & dead[jnp.clip(mp, 0)], -1, mp)
+    kf = kf._replace(map_points=mp)
+    lm = lm._replace(
+        valid=lm.valid & ~dead,
+        active=lm.active & ~dead,
+        from_kf=jnp.where(dead, -1, lm.from_kf),
+        obs_kf=jnp.where(dead[:, None], -1, lm.obs_kf),
+        all_kf=jnp.where(dead[:, None], -1, lm.all_kf),
+        bank_valid=lm.bank_valid & ~dead[:, None],
+        bank_next=jnp.where(dead, 0, lm.bank_next),
+    )
+    return kf, lm, jnp.sum(dead)

@@ -280,6 +280,21 @@ class SlamSystem:
                 num_hypotheses=cfg.ransac_hypotheses)
             if not ok:
                 continue
+            if cfg.enable_loop_verification:
+                n_inl, n_vis = closure_mod.verify_loop(
+                    self.kf, self.lm, slot, cand,
+                    sorted(self.covis.get(cand, {})), sim3,
+                    self.intr0, self.cam_name, self.width, self.height,
+                    px_gate=cfg.loop_verify_px,
+                    threshold=cfg.match_max_dist,
+                    ratio=cfg.match_next_best)
+                if (n_inl < cfg.loop_verify_min_inliers
+                        or n_inl < cfg.loop_verify_min_ratio * max(n_vis, 1)):
+                    self.stats_rejected_loops = getattr(
+                        self, "stats_rejected_loops", [])
+                    self.stats_rejected_loops.append(
+                        (slot, cand, n_inl, n_vis))
+                    continue
             if not cfg.use_sim3:
                 sim3 = lie.identity_pose()
             self.loop_edges.append((slot, cand))
@@ -339,6 +354,15 @@ class SlamSystem:
         t = self.track
         new_pose = t.current_pose
         vel = lie.se3_mul(lie.se3_inv(t.last_pose), new_pose)
+        # constant-velocity runaway guard (framework extra): when the frame
+        # was lost or localized on marginal inliers, the reference keeps
+        # integrating the stale velocity (pose = current * vel feeds the next
+        # vel unchanged) and slowly drifts off. Decay the model toward rest
+        # so a run of weak frames coasts to a stop instead of running away.
+        if cfg.enable_vel_decay and (
+                not info.get("ok")
+                or info.get("inliers", 0) < cfg.vel_decay_inlier_floor):
+            vel = lie.se3_exp(cfg.vel_decay_factor * lie.se3_log(vel))
         self.track = t._replace(last_pose=new_pose, vel=vel)
         self.trajectory.append(np.asarray(new_pose))
         self.frame += 1
@@ -426,14 +450,15 @@ class SlamSystem:
 
             print(f"[vslam_tpu] WARNING: keyframe capacity nearly exhausted "
                   f"({slot}/{cfg.max_keyframes})", file=sys.stderr)
-        n_lm = int(self.lm.next_slot)
+        n_lm = int(jnp.sum(self.lm.valid))
         if n_lm >= int(0.95 * cfg.max_landmarks) and not getattr(
                 self, "_warned_lm_cap", False):
             self._warned_lm_cap = True
             import sys
 
             print(f"[vslam_tpu] WARNING: landmark capacity nearly exhausted "
-                  f"({n_lm}/{cfg.max_landmarks})", file=sys.stderr)
+                  f"({n_lm}/{cfg.max_landmarks}) — culling cannot keep up",
+                  file=sys.stderr)
 
         # covisibility edges (construct_visibility_graph, threshold 10)
         w = np.asarray(out.covis_weight)
@@ -459,6 +484,15 @@ class SlamSystem:
             mask[deact] = True
             self.kf, self.lm = kf_mod.deactivate_keyframes(
                 self.kf, self.lm, jnp.asarray(mask))
+
+        # landmark slot recycling under capacity pressure (the reference's
+        # unbounded map, common_types.h:256-262, never fills; fixed-capacity
+        # state frees weakly-observed dead slots instead of dropping writes)
+        if (cfg.enable_lm_culling
+                and n_lm >= cfg.lm_cull_pressure * cfg.max_landmarks):
+            self.kf, self.lm, n_culled = kf_mod.cull_landmarks(
+                self.kf, self.lm, min_lifetime_obs=cfg.lm_cull_min_obs)
+            self._last_culled = int(n_culled)
 
         # windowed BA: launched asynchronously (optimize() background
         # thread, slam.cpp:1510-1569) — results merge on a later frame

@@ -237,6 +237,24 @@ def ransac_pnp(
         lie.quat_to_matrix(lie.se3_q(T_cw)), lie.se3_t(T_cw), points_w, bearings
     )
     inliers = (err < threshold) & valid
+
+    # second refine/re-select round with IRLS (Cauchy) weights over ALL
+    # valid matches: near-threshold correspondences contribute with reduced
+    # weight instead of being hard-gated on the first pose estimate. On
+    # marginal frames (few, noisy inliers) the single-round result is
+    # arithmetic-sensitive — one f32 reduction-order flip changes the
+    # re-selected set — while the weighted second round converges both
+    # device-count variants to the same basin.
+    e_rel = err / threshold
+    w2 = jnp.where(valid, 1.0 / (1.0 + e_rel * e_rel), 0.0).astype(
+        points_w.dtype)
+    T_cw = _gn_refine(
+        lie.quat_to_matrix(lie.se3_q(T_cw)), lie.se3_t(T_cw),
+        points_w, bearings, w2, refine_iters)
+    err = _angular_error(
+        lie.quat_to_matrix(lie.se3_q(T_cw)), lie.se3_t(T_cw), points_w, bearings
+    )
+    inliers = (err < threshold) & valid
     num = jnp.sum(inliers)
 
     T_wc = lie.se3_inv(T_cw)

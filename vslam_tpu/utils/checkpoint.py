@@ -29,6 +29,13 @@ def save(slam: "SlamSystem", path: str) -> None:
         for field, val in tree._asdict().items():
             arrays[f"{name}.{field}"] = np.asarray(val)
     arrays["key"] = np.asarray(slam._key)
+    # calibration state: BA with ba_optimize_intrinsics=True refines these
+    # in-place (slam.py _merge_pending_ba), so 'resume exactly' must carry
+    # them — reloading the calibration file would silently revert the map's
+    # effective calibration.
+    arrays["calib.intr0"] = np.asarray(slam.intr0)
+    arrays["calib.intr1"] = np.asarray(slam.intr1)
+    arrays["calib.T_0_1"] = np.asarray(slam.T_0_1)
     if slam.voc is not None:
         v = slam.voc
         arrays["voc.meta"] = np.asarray([v.k, v.depth])
@@ -70,6 +77,10 @@ def load(slam: "SlamSystem", path: str) -> "SlamSystem":
     slam.kf = restore(slam.kf, "kf")
     slam.track = restore(slam.track, "track")
     slam._key = jnp.asarray(data["key"])
+    if "calib.intr0" in data:  # older checkpoints predate calib persistence
+        slam.intr0 = jnp.asarray(data["calib.intr0"])
+        slam.intr1 = jnp.asarray(data["calib.intr1"])
+        slam.T_0_1 = jnp.asarray(data["calib.T_0_1"])
     if "voc.meta" in data:
         from ..loop import vocabulary as vocab_mod
 
