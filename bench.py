@@ -3,17 +3,21 @@
 Runs the full per-frame pipeline (detect + describe + project + gated
 Hamming matching via the Pallas kernels + RANSAC PnP + keyframing /
 triangulation / windowed Schur BA when triggered) at EuRoC scale
-(752x480 stereo, 1500 features, reference hyperparameters).
+(752x480 stereo, 1500 features, reference hyperparameters), using the
+sync-free streaming driver (pipeline/streaming.py — one fused XLA program
+per frame, device-side keyframe decision, no per-frame host round trips).
 
 Workload: a synthetic EuRoC-like sequence at full resolution, so tracking
 is live and the keyframe cadence is realistic. (The 201 sample frames
 bundled with the reference are 7-second-apart snapshots — tracking cannot
 persist across them, which would skew the keyframe fraction; pass
---sample to measure on them anyway.)
+--sample to measure on them anyway. --driver slam measures the faithful
+per-frame-sync driver instead.)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is against the BASELINE.md target of 40 fps (2x real-time
-EuRoC): vs_baseline = fps / 40.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus a
+secondary multi-sequence throughput figure (BASELINE.json configs[3]:
+8 sequences tracked lockstep on one chip). vs_baseline is against the
+BASELINE.md target of 40 fps (2x real-time EuRoC): vs_baseline = fps / 40.
 """
 
 import json
@@ -25,12 +29,12 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 TARGET_FPS = 40.0
-WARMUP_FRAMES = 6
+WARMUP_FRAMES = 8
 SAMPLE_DIR = "/root/reference/data/euroc_V1"
 CALIB = "/root/reference/calibration_file/euroc_v1_123_ds_calib.json"
 
 
-def load_workload(use_sample: bool):
+def load_workload(use_sample: bool, num_frames: int):
     if use_sample and os.path.isdir(SAMPLE_DIR) and os.path.exists(CALIB):
         from vslam_tpu.io import calib as calib_mod
         from vslam_tpu.io import euroc
@@ -42,8 +46,10 @@ def load_workload(use_sample: bool):
         return [pf.get(i) for i in range(n)], calib, "euroc_sample"
     from vslam_tpu import synthetic
 
-    seq = synthetic.generate(num_frames=86, num_points=900,
-                             width=752, height=480, seed=2)
+    # speed=3 churns the visible landmark set so the keyframe cadence (and
+    # therefore the BA cost) is realistic, not a tracking-only best case
+    seq = synthetic.generate(num_frames=num_frames, num_points=1200,
+                             width=752, height=480, seed=2, speed=3.0)
     return seq.images, seq.calib, "synthetic_752x480"
 
 
@@ -66,8 +72,92 @@ def _probe_backend(timeout_s: int = 240) -> bool:
         return False
 
 
+def bench_single(frames, calib, use_slam_driver: bool):
+    from vslam_tpu.config import SlamConfig
+
+    cfg = SlamConfig(
+        enable_relocalization=False,  # VO configuration (BoW asset-free)
+        enable_loop_closure=False,
+        max_landmarks=65536,
+        max_keyframes=1024,
+    )
+    if use_slam_driver:
+        from vslam_tpu.pipeline.slam import SlamSystem
+
+        slam = SlamSystem(calib, cfg)
+        for i in range(min(WARMUP_FRAMES, len(frames))):
+            slam.process_frame(frames[i][0], frames[i][1])
+        t0 = time.perf_counter()
+        n = 0
+        for i in range(WARMUP_FRAMES, len(frames)):
+            slam.process_frame(frames[i][0], frames[i][1])
+            n += 1
+        elapsed = time.perf_counter() - t0
+        stats = slam.stats[WARMUP_FRAMES:]
+        kfs = sum(1 for s in stats if s["kind"] == "keyframe")
+        tracked = sum(1 for s in stats if s.get("ok"))
+        return n / elapsed, n, kfs, tracked
+
+    from vslam_tpu.pipeline.streaming import StreamingVO
+
+    vo = StreamingVO(calib, cfg, max_frames=len(frames) + 8)
+    # warmup: compile both branches (the first frames include keyframes and
+    # tracking frames) and flush the pipeline
+    vo.run(frames[:WARMUP_FRAMES], sync_every=0)
+    import jax
+
+    jax.block_until_ready(vo.state.frame)
+    t0 = time.perf_counter()
+    vo.run(frames[WARMUP_FRAMES:], sync_every=256)
+    jax.block_until_ready(vo.state.frame)
+    elapsed = time.perf_counter() - t0
+    res = vo.results()
+    n = len(frames) - WARMUP_FRAMES
+    kfs = int(res["is_keyframe"][WARMUP_FRAMES:].sum())
+    tracked = int(res["tracked_ok"][WARMUP_FRAMES:].sum())
+    return n / elapsed, n, kfs, tracked
+
+
+def bench_multiseq(num_seq: int = 8, num_frames: int = 30):
+    """Sequences/sec throughput: S synthetic sequences tracked lockstep
+    (BASELINE.json configs[3])."""
+    import jax
+
+    from vslam_tpu import synthetic
+    from vslam_tpu.config import SlamConfig
+    from vslam_tpu.parallel.multiseq_runner import MultiSeqVO
+
+    import numpy as np
+
+    seqs = [synthetic.generate(num_frames=num_frames, num_points=500,
+                               width=752, height=480, seed=10 + s)
+            for s in range(num_seq)]
+    cfg = SlamConfig(
+        enable_relocalization=False, enable_loop_closure=False,
+        max_landmarks=16384, max_keyframes=128,
+        window_points=4096, window_obs=10240,
+    )
+    vo = MultiSeqVO(seqs[0].calib, num_seq, cfg)
+    warm = 4
+    for f in range(warm):
+        vo.process_frames(np.stack([s.images[f][0] for s in seqs]),
+                          np.stack([s.images[f][1] for s in seqs]))
+    jax.block_until_ready(vo.pose)
+    t0 = time.perf_counter()
+    n = 0
+    for f in range(warm, num_frames):
+        vo.process_frames(np.stack([s.images[f][0] for s in seqs]),
+                          np.stack([s.images[f][1] for s in seqs]))
+        n += 1
+    jax.block_until_ready(vo.pose)
+    elapsed = time.perf_counter() - t0
+    return num_seq * n / elapsed  # sequence-frames per second
+
+
 def main():
     use_sample = "--sample" in sys.argv
+    use_slam_driver = "--driver" in sys.argv and \
+        sys.argv[sys.argv.index("--driver") + 1] == "slam"
     if ("--no-probe" not in sys.argv
             and os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")):
         if not _probe_backend():
@@ -83,45 +173,35 @@ def main():
             os.execve(sys.executable,
                       [sys.executable, os.path.abspath(__file__),
                        "--no-probe", *sys.argv[1:]], env)
-    from vslam_tpu.config import SlamConfig
-    from vslam_tpu.pipeline.slam import SlamSystem
 
-    frames, calib, src = load_workload(use_sample)
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        frames = frames[:WARMUP_FRAMES + 24]  # CPU fallback: keep it short
-    cfg = SlamConfig(
-        enable_relocalization=False,  # VO configuration (BoW asset-free)
-        enable_loop_closure=False,
-        max_landmarks=65536,
-        max_keyframes=1024,
-    )
-    slam = SlamSystem(calib, cfg)
+    on_cpu = os.environ.get("JAX_PLATFORMS") == "cpu"
+    num_frames = WARMUP_FRAMES + (24 if on_cpu else 120)
+    frames, calib, src = load_workload(use_sample, num_frames)
 
-    # warmup: compile every program variant (track + keyframe + BA)
-    for i in range(min(WARMUP_FRAMES, len(frames))):
-        slam.process_frame(frames[i][0], frames[i][1])
+    fps, n, kfs, tracked = bench_single(frames, calib, use_slam_driver)
 
-    t0 = time.perf_counter()
-    n = 0
-    for i in range(WARMUP_FRAMES, len(frames)):
-        slam.process_frame(frames[i][0], frames[i][1])
-        n += 1
-    elapsed = time.perf_counter() - t0
-    fps = n / elapsed if elapsed > 0 else 0.0
+    multiseq_fps = None
+    if not on_cpu and not use_sample:
+        try:
+            multiseq_fps = bench_multiseq()
+        except Exception as e:  # secondary metric must not kill the bench
+            print(json.dumps({"warning": f"multiseq bench failed: {e}"}),
+                  file=sys.stderr)
 
-    stats = slam.stats[WARMUP_FRAMES:]
-    kfs = sum(1 for s in stats if s["kind"] == "keyframe")
-    tracked = sum(1 for s in stats if s.get("ok"))
-    print(json.dumps({
+    out = {
         "metric": "euroc_vo_fps",
         "value": round(fps, 2),
         "unit": f"frames/sec (752x480 stereo, 1500 feats, windowed BA; "
-                f"{src})",
+                f"{src}; streaming driver)",
         "vs_baseline": round(fps / TARGET_FPS, 3),
         "frames": n,
         "keyframes": kfs,
         "tracked_ok": tracked,
-    }))
+    }
+    if multiseq_fps is not None:
+        out["multiseq_seq_frames_per_sec"] = round(multiseq_fps, 2)
+        out["multiseq_config"] = "8 sequences lockstep, 752x480, one chip"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

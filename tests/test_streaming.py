@@ -1,0 +1,96 @@
+"""StreamingVO (sync-free fused step) parity with the faithful driver.
+
+The streaming driver must compute the same VO as
+``SlamSystem(enable_relocalization=False, enable_loop_closure=False)`` —
+same tracking math, same keyframe policy, same windowed BA — with all
+control flow on device (see pipeline/streaming.py). Differences allowed:
+keyframe poses are post-BA (synchronous solve) instead of the reference's
+one-frame-lagged background merge.
+"""
+
+import numpy as np
+import pytest
+
+from vslam_tpu import synthetic
+from vslam_tpu.config import SlamConfig
+from vslam_tpu.eval import ate
+from vslam_tpu.pipeline.slam import SlamSystem
+from vslam_tpu.pipeline.streaming import StreamingVO
+
+
+def small_config():
+    return SlamConfig(
+        num_features=400,
+        ransac_hypotheses=128,
+        max_landmarks=8192,
+        max_keyframes=64,
+        max_inview_landmarks=512,
+        window_cams=24,
+        window_points=2048,
+        window_obs=6144,
+        ba_max_iters=10,
+        enable_relocalization=False,
+        enable_loop_closure=False,
+        new_kf_min_inliers=60,
+    )
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return synthetic.generate(num_frames=24, num_points=500, seed=3)
+
+
+@pytest.fixture(scope="module")
+def stream_run(seq):
+    vo = StreamingVO(seq.calib, small_config(), max_frames=64)
+    vo.run(seq.images, chunk=8, sync_every=16)
+    return vo
+
+
+def test_streaming_tracks_and_maps(stream_run, seq):
+    res = stream_run.results()
+    assert res["frames"] == len(seq.images)
+    # first frame is a keyframe; at least a few keyframes over the run
+    assert res["is_keyframe"][0]
+    assert res["is_keyframe"].sum() >= 3
+    # tracking held on every non-bootstrap frame
+    assert res["tracked_ok"][2:].all()
+    assert np.median(res["inliers"][2:]) > 30
+
+
+def test_streaming_ate_matches_reference_driver(stream_run, seq):
+    cfg = small_config()
+    slam = SlamSystem(seq.calib, cfg)
+    for img_l, img_r in seq.images:
+        slam.process_frame(img_l, img_r)
+
+    fids_a, pos_a, _ = slam.keyframe_trajectory()
+    fids_b, pos_b, _ = stream_run.keyframe_trajectory()
+
+    gt_a = seq.poses[fids_a, :3]
+    gt_b = seq.poses[fids_b, :3]
+    _, _, rmse_a = ate.align_svd(pos_a, gt_a)
+    _, _, rmse_b = ate.align_svd(pos_b, gt_b)
+    # both drivers deliver centimeter VO; streaming must not be worse than
+    # the faithful driver by more than noise (post-BA poses usually help)
+    assert rmse_b < 0.08, f"streaming ATE {rmse_b:.3f} m"
+    assert rmse_b < max(2.0 * rmse_a, 0.05), (rmse_b, rmse_a)
+
+
+def test_streaming_full_trajectory(stream_run, seq):
+    res = stream_run.results()
+    est = res["trajectory"][:, :3]
+    gt = seq.poses[: len(est), :3]
+    _, _, rmse = ate.align_svd(est, gt)
+    assert rmse < 0.10, f"full-trajectory ATE {rmse:.3f} m"
+
+
+def test_streaming_reset_reproducible(seq):
+    cfg = small_config()
+    vo = StreamingVO(seq.calib, cfg, max_frames=32)
+    vo.run(seq.images[:10], chunk=8, sync_every=0)
+    t1 = vo.results()["trajectory"]
+    vo.reset()
+    vo.run(seq.images[:10], chunk=8, sync_every=0)
+    t2 = vo.results()["trajectory"]
+    assert np.array_equal(t1, t2)

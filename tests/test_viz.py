@@ -37,3 +37,38 @@ def test_plot_map(tmp_path):
     import os
 
     assert all(os.path.exists(o) for o in outs)
+
+
+def test_html_viewer(tmp_path):
+    from vslam_tpu.viz import html_viewer
+
+    rng = np.random.RandomState(0)
+    traj = np.cumsum(rng.randn(50, 3) * 0.1, 0)
+    lm = rng.randn(40000, 3) * 3  # over the downsample cap
+    p = html_viewer.write_html(
+        str(tmp_path / "v.html"), traj, landmarks=lm, gt=traj + 0.05,
+        keyframes=traj[::5], inliers=rng.randint(40, 140, 50),
+        is_keyframe=(np.arange(50) % 5 == 0),
+        loop_edges=[(traj[2], traj[40])], title="test map")
+    s = open(p).read()
+    assert "__DATA__" not in s           # data was embedded
+    assert "test map" in s
+    # embedded JSON parses and respects the landmark downsample cap
+    import json
+
+    start = s.index("const D = ") + len("const D = ")
+    end = s.index(";\n", start)
+    data = json.loads(s[start:end])
+    assert len(data["traj"]) == 50
+    assert len(data["lm"]) <= 30000
+    assert len(data["loops"]) == 1
+
+
+def test_html_viewer_accepts_pose7(tmp_path):
+    from vslam_tpu.viz import html_viewer
+
+    traj7 = np.zeros((10, 7))
+    traj7[:, 0] = np.arange(10)
+    traj7[:, 6] = 1.0
+    p = html_viewer.write_html(str(tmp_path / "v7.html"), traj7)
+    assert "__DATA__" not in open(p).read()

@@ -36,6 +36,8 @@ def main(argv=None):
     p.add_argument("--no-loop", action="store_true")
     p.add_argument("--no-reloc", action="store_true")
     p.add_argument("--metrics", default="")
+    p.add_argument("--viz-html", default="", help="write an interactive "
+                   "HTML map/trajectory viewer (Pangolin-loop replacement)")
     args = p.parse_args(argv)
 
     from .config import SlamConfig
@@ -104,6 +106,27 @@ def main(argv=None):
     map_io.save_map(out, cams, lms, est_pos, gt_out, ate_val)
     print(f"Saved map as {out} ({len(cams)} cameras, {len(lms)} landmarks)",
           file=sys.stderr)
+
+    if args.viz_html:
+        from .viz import html_viewer
+
+        traj_full = np.asarray(slam.trajectory)[:, :3]
+        loop_xyz = []
+        for a, b in slam.loop_edges:
+            pl = np.asarray(slam.kf.pose_l)
+            loop_xyz.append((pl[a, :3], pl[b, :3]))
+        html_viewer.write_html(
+            args.viz_html, traj_full,
+            landmarks=lm_pos[lm_valid],
+            gt=gt_out if len(gt_out) else None,
+            keyframes=est_poses,
+            inliers=[s.get("inliers", 0) for s in slam.stats],
+            is_keyframe=[s["kind"] == "keyframe" for s in slam.stats],
+            loop_edges=loop_xyz,
+            title=f"vslam_tpu — {args.map_name} "
+                  f"(ATE {ate_val:.3f} m)" if ate_val == ate_val
+                  else f"vslam_tpu — {args.map_name}")
+        print(f"Wrote viewer: {args.viz_html}", file=sys.stderr)
     return 0
 
 

@@ -22,6 +22,10 @@ class SlamConfig:
     match_max_dist_2d: float = 20.0    # hidden.match_max_dist_2d (px gate)
     quality_level: float = 0.01        # goodFeaturesToTrack qualityLevel
     min_distance: int = 8              # goodFeaturesToTrack minDistance
+    # image-pyramid octaves (power-of-two levels). 1 = single-scale (the
+    # reference's matching frontend); >1 adds scale invariance like the
+    # 8-level ORB pyramid its BoW path redetects on (keypoints.h:249)
+    num_octaves: int = 1
 
     # --- keyframing / map management (slam.cpp:268-282) ---
     new_kf_min_inliers: int = 80       # hidden.new_kf_min_inliers
@@ -74,8 +78,12 @@ class SlamConfig:
     lm_cull_min_obs: int = 3
     enable_lm_culling: bool = True
     window_cams: int = 24                  # 2 * (max_num_kfs + slack)
-    window_points: int = 8192              # active landmarks, 10-KF window
-    window_obs: int = 20480
+    # window capacities sized to actual EuRoC occupancy: 10 KF pairs x 1500
+    # features with typical ~30% landmark overlap peaks near 3-4k active
+    # landmarks and ~2.5 obs each; padding beyond that is pure BA cost
+    # (every LM iteration pays the full padded shapes)
+    window_points: int = 4096              # active landmarks, 10-KF window
+    window_obs: int = 12288
     # place the async window BA on this jax.devices() index (None = same
     # chip); on a multi-chip topology the solve then genuinely overlaps
     # tracking instead of sharing the tracking chip's queue

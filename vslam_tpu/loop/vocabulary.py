@@ -365,18 +365,32 @@ def _vocab_from_flat(k, depth, parents, leaf_flags, desc_bytes, weights):
     bits = ((desc_bytes[:, :, None] >> shifts) & 1).reshape(len(parents), 256)
     node_desc = np.concatenate([np.zeros((1, 256), np.uint8), bits])
     is_leaf = np.concatenate([[False], leaf_flags])
-    children: list = [[] for _ in range(n)]
-    for i in range(1, n):
-        children[node_parent[i]].append(i)
+    # children table, vectorized (ORBvoc has ~1.1M nodes — python loops
+    # here dominated load time): group node ids by parent via a stable
+    # sort, rank within each group, scatter into the [n, k] table.
     ch = np.full((n, k), -1, np.int32)
-    for i, cs in enumerate(children):
-        ch[i, :min(len(cs), k)] = cs[:k]
+    if n > 1:
+        ids = np.arange(1, n, dtype=np.int64)
+        par = node_parent[1:].astype(np.int64)
+        order = np.argsort(par, kind="stable")
+        sp = par[order]
+        sid = ids[order]
+        first = np.zeros(len(sp), bool)
+        first[0] = True
+        first[1:] = sp[1:] != sp[:-1]
+        group_start = np.where(first, np.arange(len(sp)), 0)
+        group_start = np.maximum.accumulate(group_start)
+        rank = np.arange(len(sp)) - group_start
+        keep = rank < k
+        ch[sp[keep], rank[keep]] = sid[keep]
     word_of_node = np.full(n, -1, np.int32)
     leaf_ids = np.nonzero(is_leaf)[0]
     word_of_node[leaf_ids] = np.arange(len(leaf_ids))
+    # levels: one vectorized parent-hop per pass propagates one level
+    # (node ids are in creation order, so parents precede children)
     level = np.zeros(n, np.int32)
-    for i in range(1, n):
-        level[i] = level[node_parent[i]] + 1
+    for _ in range(int(depth) + 1):
+        level[1:] = level[node_parent[1:]] + 1
     w = np.zeros(len(leaf_ids), np.float32)
     leaf_weights = np.concatenate([[0.0], weights])[leaf_ids]
     w[:] = leaf_weights
@@ -388,16 +402,25 @@ def _vocab_from_flat(k, depth, parents, leaf_flags, desc_bytes, weights):
 
 
 def save_dbow2_text(voc: Vocabulary, path: str) -> None:
-    """Write the DBoW2 text format (inverse of load_dbow2_text)."""
-    order = np.argsort(np.arange(len(voc.parent)))  # creation order = id
+    """Write the DBoW2 text format (inverse of load_dbow2_text).
+
+    Vectorized (byte packing + row formatting in bulk) so ORBvoc-scale
+    trees (~1.1M nodes) write in seconds, not minutes.
+    """
+    n = len(voc.parent)
+    by_all = (voc.node_desc.reshape(n, 32, 8).astype(np.uint16)
+              * (1 << np.arange(8, dtype=np.uint16))).sum(-1)   # [n, 32]
+    w_all = np.where(voc.is_leaf & (voc.word_of_node >= 0),
+                     voc.weights[np.clip(voc.word_of_node, 0, None)], 0.0)
+    leaf_int = voc.is_leaf.astype(np.int8)
     with open(path, "w") as f:
         f.write(f"{voc.k} {voc.depth} 0 0\n")
-        for i in order:
-            if i == 0:
-                continue
-            bits = voc.node_desc[i].reshape(32, 8)
-            by = (bits * (1 << np.arange(8, dtype=np.uint16))).sum(1)
-            w = voc.weights[voc.word_of_node[i]] if voc.is_leaf[i] else 0.0
-            f.write(
-                f"{voc.parent[i]} {1 if voc.is_leaf[i] else 0} "
-                + " ".join(str(int(b)) for b in by) + f" {w}\n")
+        chunk = 65536
+        for lo in range(1, n, chunk):
+            hi = min(lo + chunk, n)
+            rows = [
+                f"{voc.parent[i]} {leaf_int[i]} "
+                + " ".join(map(str, by_all[i])) + f" {w_all[i]}"
+                for i in range(lo, hi)
+            ]
+            f.write("\n".join(rows) + "\n")

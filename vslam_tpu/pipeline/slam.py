@@ -119,6 +119,7 @@ class SlamSystem:
             quality_level=cfg.quality_level,
             min_distance=cfg.min_distance,
             rotate_features=cfg.rotate_features,
+            num_octaves=cfg.num_octaves,
         )
         # one host transfer for all per-frame scalars (each separate int()/
         # float() costs a device sync — expensive through the TPU tunnel)
@@ -420,7 +421,8 @@ class SlamSystem:
                                    num_features=cfg.num_features,
                                    quality_level=cfg.quality_level,
                                    min_distance=cfg.min_distance,
-                                   rotate_features=cfg.rotate_features)
+                                   rotate_features=cfg.rotate_features,
+                                   num_octaves=cfg.num_octaves)
         stereo_j, stereo_inl = kf_mod.stereo_match(
             res.feats, feats_r, self.T_0_1, self.intr0, self.intr1,
             cam_name=self.cam_name, threshold=cfg.match_max_dist,

@@ -63,7 +63,7 @@ def project_landmarks(lm: LandmarkState, T_w_c, cam_name, intr, width, height,
     jax.jit,
     static_argnames=("cam_name", "num_features", "inview_cap", "width",
                      "height", "num_hypotheses", "min_distance",
-                     "rotate_features"),
+                     "rotate_features", "num_octaves"),
 )
 def track_frame(
     key,
@@ -88,11 +88,13 @@ def track_frame(
     quality_level: float = 0.01,
     min_distance: int = 8,
     rotate_features: bool = True,
+    num_octaves: int = 1,
 ) -> TrackResult:
     feats = extract_features(img_l, num_features=num_features,
                              quality_level=quality_level,
                              min_distance=min_distance,
-                             rotate_features=rotate_features)
+                             rotate_features=rotate_features,
+                             num_octaves=num_octaves)
 
     # ---- project + compact in-view landmarks (newest-first) ----
     proj, in_view = project_landmarks(

@@ -138,6 +138,7 @@ def generate(
     motion: str = "arc",
     seed: int = 0,
     cam_type: str = "pinhole",
+    speed: float = 1.0,
 ) -> SyntheticSequence:
     rng = np.random.RandomState(seed)
     calib = make_calib(width, height, cam_type)
@@ -200,10 +201,12 @@ def generate(
         patches[i, c - 3:c, c + 1:c + 4] = bright[i, 0]
         patches[i, c + 1:c + 4, c - 3:c] = bright[i, 1]
 
-    # trajectory: slow forward arc with gentle yaw
+    # trajectory: slow forward arc with gentle yaw; ``speed`` scales the
+    # per-frame motion (speed > 1 churns the visible landmark set, giving a
+    # realistic organic keyframe cadence for benchmarks)
     poses = np.zeros((num_frames, 7))
     for f in range(num_frames):
-        s = f / max(num_frames - 1, 1)
+        s = speed * f / max(num_frames - 1, 1)
         # EuRoC-like speeds: a few cm per frame so guided matching's 20 px
         # gate holds (the reference relies on the same assumption)
         if motion == "loop":
@@ -259,6 +262,60 @@ def generate(
     return SyntheticSequence(images=images, poses=poses,
                              timestamps=timestamps, calib=calib,
                              points=points)
+
+
+def multiscale_texture(size: int = 1024, seed: int = 0) -> np.ndarray:
+    """Band-limited texture with structure at several spatial scales.
+
+    Sum of box-blurred noise octaves, so corners/blobs exist at every
+    scale — a camera retreating from the plane keeps seeing features, just
+    coarser ones. Used by the scale-invariance (pyramid) tests.
+    """
+    rng = np.random.RandomState(seed)
+    tex = np.zeros((size, size), np.float64)
+    for octave, amp in ((1, 0.8), (2, 1.0), (4, 1.2), (8, 1.5), (16, 1.8)):
+        n = rng.uniform(-1, 1, (size // octave + 1, size // octave + 1))
+        up = np.kron(n, np.ones((octave, octave)))[:size, :size]
+        # cheap smoothing: two 3x3 box passes
+        for _ in range(2):
+            p = np.pad(up, 1, mode="edge")
+            up = (p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+                  + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+                  + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]) / 9.0
+        tex += amp * up
+    tex -= tex.min()
+    tex *= 255.0 / max(tex.max(), 1e-9)
+    return tex.astype(np.uint8)
+
+
+def render_plane_view(texture: np.ndarray, intr, z: float,
+                      width: int, height: int,
+                      meters_per_texel: float = 0.004,
+                      center_xy=(0.0, 0.0)) -> np.ndarray:
+    """Render a fronto-parallel textured plane from distance ``z`` (pinhole).
+
+    The plane is world z=const, the camera looks straight at it; changing
+    ``z`` produces a genuine perspective scale change (unlike the splat
+    renderer, whose patches are fixed-size). Bilinear sampling.
+    """
+    fx, fy, cx, cy = [float(v) for v in intr[:4]]
+    u = np.arange(width, dtype=np.float64)
+    v = np.arange(height, dtype=np.float64)
+    X = (u[None, :] - cx) * z / fx + center_xy[0]     # meters on the plane
+    Y = (v[:, None] - cy) * z / fy + center_xy[1]
+    ht, wt = texture.shape
+    tx = X / meters_per_texel + wt / 2.0
+    ty = Y / meters_per_texel + ht / 2.0
+    tx = np.clip(np.broadcast_to(tx, (height, width)), 0, wt - 1.001)
+    ty = np.clip(np.broadcast_to(ty, (height, width)), 0, ht - 1.001)
+    x0 = tx.astype(np.int64)
+    y0 = ty.astype(np.int64)
+    ax = tx - x0
+    ay = ty - y0
+    t = texture.astype(np.float64)
+    val = ((1 - ay) * ((1 - ax) * t[y0, x0] + ax * t[y0, x0 + 1])
+           + ay * ((1 - ax) * t[y0 + 1, x0] + ax * t[y0 + 1, x0 + 1]))
+    return np.clip(val, 0, 255).astype(np.uint8)
 
 
 def _compose_np(T1, T2):
