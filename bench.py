@@ -118,6 +118,34 @@ def bench_single(frames, calib, use_slam_driver: bool):
     return n / elapsed, n, kfs, tracked
 
 
+def bench_full_slam(frames, calib):
+    """Full-SLAM throughput: streaming driver with place recognition on
+    (BoW tree descent per keyframe + host event polling + loop detector).
+    Vocabulary: synthetic 100k-word tree (k=10 L=5) — the descent cost is
+    identical to a trained one."""
+    import jax
+
+    from vslam_tpu.config import SlamConfig
+    from vslam_tpu.loop import vocabulary as vocab_mod
+    from vslam_tpu.pipeline.streaming import StreamingSLAM
+
+    voc = vocab_mod.synthetic_vocab(k=10, depth=5, seed=0)
+    cfg = SlamConfig(
+        enable_relocalization=False, enable_loop_closure=True,
+        enable_gba_after_loop=False,
+        max_landmarks=65536, max_keyframes=1024,
+    )
+    slam = StreamingSLAM(calib, cfg, voc, max_frames=len(frames) + 8,
+                         poll_every=16)
+    slam.run(frames[:WARMUP_FRAMES])
+    jax.block_until_ready(slam.state.frame)
+    t0 = time.perf_counter()
+    slam.run(frames[WARMUP_FRAMES:])
+    jax.block_until_ready(slam.state.frame)
+    elapsed = time.perf_counter() - t0
+    return (len(frames) - WARMUP_FRAMES) / elapsed
+
+
 def bench_multiseq(num_seq: int = 8, num_frames: int = 30):
     """Sequences/sec throughput: S synthetic sequences tracked lockstep
     (BASELINE.json configs[3])."""
@@ -181,10 +209,16 @@ def main():
     fps, n, kfs, tracked = bench_single(frames, calib, use_slam_driver)
 
     multiseq_fps = None
+    slam_fps = None
     if not on_cpu and not use_sample:
         try:
-            multiseq_fps = bench_multiseq()
+            slam_fps = bench_full_slam(frames, calib)
         except Exception as e:  # secondary metric must not kill the bench
+            print(json.dumps({"warning": f"full-slam bench failed: {e}"}),
+                  file=sys.stderr)
+        try:
+            multiseq_fps = bench_multiseq()
+        except Exception as e:
             print(json.dumps({"warning": f"multiseq bench failed: {e}"}),
                   file=sys.stderr)
 
@@ -198,6 +232,10 @@ def main():
         "keyframes": kfs,
         "tracked_ok": tracked,
     }
+    if slam_fps is not None:
+        out["full_slam_fps"] = round(slam_fps, 2)
+        out["full_slam_config"] = ("streaming driver + place recognition "
+                                   "(100k-word BoW, loop detector polling)")
     if multiseq_fps is not None:
         out["multiseq_seq_frames_per_sec"] = round(multiseq_fps, 2)
         out["multiseq_config"] = "8 sequences lockstep, 752x480, one chip"

@@ -43,6 +43,10 @@ class SlamConfig:
     loop_closing_time_threshold: int = 500  # hidden.loop_closing_time (frames)
     use_sim3: bool = True                  # hidden.use_sim3
     fixed_current_kf: bool = True          # hidden.fixed_current_kf
+    # loop-correction solver: "pnp" = the reference's production path
+    # (P3P RANSAC, SE3, sim3.h:228-359); "horn" = closed-form Sim(3) from
+    # 3D-3D matches with a scale-consistency gate (sim3.h:48-141)
+    sim3_solver: str = "pnp"
 
     # --- RANSAC / BA (slam.cpp:298-309) ---
     pnp_inlier_thresh_px: float = 3.0      # hidden.pnp_inlier_thresh

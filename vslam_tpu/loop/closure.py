@@ -131,6 +131,91 @@ def compute_sim3(
     return False, None
 
 
+def compute_sim3_horn(
+    kf: KeyframeState,
+    lm: LandmarkState,
+    cur_slot: int,
+    cand_slot: int,
+    cand_neighbors: Sequence[int],
+    key,
+    threshold_3d: float = 0.3,
+    num_hypotheses: int = 128,
+    max_scale_log: float = 0.1,
+):
+    """Closed-form Sim(3) loop correction from 3D-3D correspondences.
+
+    The reference's compute_sim3_1 (sim3.h:48-141): matched features give
+    pairs (current-side landmark, candidate-side landmark) — the same
+    physical point in the drifted and old map frames — and a Horn/RANSAC
+    alignment recovers the similarity mapping drifted world to old world.
+    Stereo observes scale, so a recovered scale far from 1 marks a bad
+    closure (an extra gate the SE3 PnP path cannot express); the accepted
+    correction is returned as the SE3 loop edge
+    ``sim3 = T_w_cand^-1 * (S o T_w_cur_drift)``.
+
+    Returns (ok, sim3 [7], scale).
+    """
+    from ..geometry import sim3 as sim3_mod
+
+    cur_bits = describe_ops.unpack_bits(kf.desc[cur_slot, 0])
+    cur_valid = kf.kp_valid[cur_slot, 0]
+    mp_cur = np.asarray(kf.map_points[cur_slot])
+
+    # 3D-3D pairs: current feature f -> its own landmark (drifted world)
+    # and the candidate-side landmark it matched (old world)
+    src_ids: List[int] = []
+    dst_ids: List[int] = []
+    used_dst: Set[int] = set()
+    for s in (cand_slot, *cand_neighbors):
+        if s == cur_slot:
+            continue
+        # m[f] = current-feature index matched by candidate feature f
+        m = np.asarray(matching.match_vs_keyframe(
+            cur_bits, cur_valid, kf, jnp.asarray(s), 0))
+        mp_s = np.asarray(kf.map_points[s])
+        for f in np.nonzero((m >= 0) & (mp_s >= 0))[0]:
+            cf = int(m[f])
+            sid = int(mp_cur[cf])   # current-side landmark (drifted world)
+            tid = int(mp_s[f])      # candidate-side landmark (old world)
+            if sid < 0 or tid == sid or tid in used_dst:
+                continue
+            used_dst.add(tid)
+            src_ids.append(sid)
+            dst_ids.append(tid)
+    if len(src_ids) < 5:
+        return False, None, 0.0
+
+    cap = _pow2(len(src_ids))
+    pos = np.asarray(lm.pos)
+    src = np.zeros((cap, 3), np.float32)
+    dst = np.zeros((cap, 3), np.float32)
+    src[:len(src_ids)] = pos[src_ids]
+    dst[:len(dst_ids)] = pos[dst_ids]
+    valid = np.arange(cap) < len(src_ids)
+
+    S, inl, n_inl, ok = sim3_mod.ransac_sim3(
+        key, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(valid),
+        threshold=threshold_3d, num_hypotheses=num_hypotheses)
+    if not bool(ok):
+        return False, None, 0.0
+    scale = float(S.s)
+    if abs(np.log(scale)) > max_scale_log:
+        return False, None, scale  # scale drift in stereo = bad closure
+
+    # corrected current pose: S o T_w_cur (rigid action of the similarity)
+    T_cur = np.asarray(kf.pose_l[cur_slot])
+    R_cur = np.asarray(lie.quat_to_matrix(jnp.asarray(T_cur[3:7])))
+    R_new = np.asarray(S.R) @ R_cur
+    t_new = float(S.s) * (np.asarray(S.R) @ T_cur[:3]) + np.asarray(S.t)
+    q_new = np.asarray(lie.matrix_to_quat(jnp.asarray(R_new)))
+    T_cur_corr = jnp.asarray(np.concatenate([t_new, q_new]), jnp.float32)
+    sim3 = lie.se3_mul(lie.se3_inv(kf.pose_l[cand_slot]), T_cur_corr)
+    trans_l1 = float(jnp.sum(jnp.abs(lie.se3_log(sim3)[:3])))
+    if trans_l1 > 5.0:  # same sanity gate as the PnP path (sim3.h:340)
+        return False, None, scale
+    return True, sim3, scale
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cam_name", "width", "height", "cap"))
@@ -257,32 +342,43 @@ def loop_closure(
     fixed_current: bool = True,
     huber: float = 1.0,
     max_iters: int = 20,
+    align_current: bool = True,
+    extra_fixed=None,
 ):
-    """Align + pose graph + stereo/landmark update. Returns (kf, lm, stats)."""
+    """Align + pose graph + stereo/landmark update. Returns (kf, lm, stats).
+
+    ``align_current=False`` is the late-application mode (streaming driver):
+    the correction is applied after tracking has moved past ``cur_slot``,
+    so the live gauge must not move — the loop-align rewrite is skipped,
+    ``cur_slot`` stays at its drifted pose, and the pose graph's loop edge
+    drags the OLD side of the map into the live gauge instead.
+    (Incidentally this is what the reference actually executes: its
+    loop_align takes `Camera cur_kf` BY VALUE, loop_closure_utils.h:398,
+    so the aligned current pose write is silently lost.)
+    ``extra_fixed``: iterable of additional keyframe slots to hold fixed
+    (the streaming driver fixes every keyframe newer than ``cur_slot``).
+    """
     n_kf = int(kf.next_slot)
     poses_pre = np.asarray(kf.pose_l)  # pre-align snapshot (measurements)
 
     # ---- loop_align: re-pose the current KF and its covisible neighbors ----
     # loop_closure_utils.h:398-415 computes cur_kf.T_w_c = T_w_cand * sim3 and
-    # neighbors relative to it. (The reference passes `Camera cur_kf` BY VALUE
-    # through loop_closure/loop_align, so its own write of the aligned current
-    # pose is silently lost and only the neighbors move; the current KF then
-    # stays at the drifted pose, the loop edge drags the WHOLE old map into
-    # the drifted gauge, and the next windowed BA fights the seam across the
-    # current KF's observations. We keep the written semantics — the aligned
+    # neighbors relative to it. (We keep the written semantics — the aligned
     # current pose is applied — which anchors the old map in place and makes
-    # the post-closure state self-consistent.)
+    # the post-closure state self-consistent for the synchronous driver.)
     T_cur_pre = jnp.asarray(poses_pre[cur_slot])
     T_cur_aligned = lie.se3_mul(kf.pose_l[cand_slot], sim3)
-    pose_l = kf.pose_l.at[cur_slot].set(T_cur_aligned)
-    pose_r = kf.pose_r.at[cur_slot].set(lie.se3_mul(T_cur_aligned, T_0_1))
-    for nbr in covis.get(cur_slot, {}):
-        rel = lie.se3_mul(lie.se3_inv(T_cur_pre),
-                          jnp.asarray(poses_pre[nbr]))
-        T_nbr = lie.se3_mul(T_cur_aligned, rel)
-        pose_l = pose_l.at[nbr].set(T_nbr)
-        pose_r = pose_r.at[nbr].set(lie.se3_mul(T_nbr, T_0_1))
-    kf = kf._replace(pose_l=pose_l, pose_r=pose_r)
+    if align_current:
+        pose_l = kf.pose_l.at[cur_slot].set(T_cur_aligned)
+        pose_r = kf.pose_r.at[cur_slot].set(lie.se3_mul(T_cur_aligned,
+                                                        T_0_1))
+        for nbr in covis.get(cur_slot, {}):
+            rel = lie.se3_mul(lie.se3_inv(T_cur_pre),
+                              jnp.asarray(poses_pre[nbr]))
+            T_nbr = lie.se3_mul(T_cur_aligned, rel)
+            pose_l = pose_l.at[nbr].set(T_nbr)
+            pose_r = pose_r.at[nbr].set(lie.se3_mul(T_nbr, T_0_1))
+        kf = kf._replace(pose_l=pose_l, pose_r=pose_r)
     poses_post = np.asarray(kf.pose_l)
 
     # ---- assemble the essential graph ----
@@ -316,14 +412,18 @@ def loop_closure(
     E = len(edges_i)
     K = _pow2(n_kf)
     E_pad = _pow2(E)
+    fixed = (np.arange(K) >= n_kf) \
+        | (np.arange(K) == (cur_slot if fixed_current else -1))
+    if extra_fixed is not None:
+        for s in extra_fixed:
+            if 0 <= s < K:
+                fixed[s] = True
     prob = pose_graph.PoseGraphProblem(
         poses=jnp.asarray(
             np.concatenate([poses_post[:n_kf],
                             np.tile(np.asarray(lie.identity_pose()),
                                     (K - n_kf, 1))]).astype(np.float32)),
-        fixed=jnp.asarray(
-            (np.arange(K) >= n_kf)
-            | (np.arange(K) == (cur_slot if fixed_current else -1))),
+        fixed=jnp.asarray(fixed),
         edge_i=jnp.asarray(np.pad(edges_i, (0, E_pad - E)).astype(np.int32)),
         edge_j=jnp.asarray(np.pad(edges_j, (0, E_pad - E)).astype(np.int32)),
         edge_meas=jnp.asarray(

@@ -247,6 +247,33 @@ def transform_np(voc: Vocabulary, descs: np.ndarray):
     return voc.word_of_node[cur], cur
 
 
+@functools.partial(jax.jit, static_argnames=("depth",))
+def _descend(node_desc, children, word_of_node, bits, valid, depth: int):
+    """Batched greedy tree descent (TemplatedVocabulary.h:1127-1193).
+
+    The tree arrays are traced arguments, NOT captured constants: an
+    ORBvoc-scale tree is ~285 MB of node descriptors and baking it into
+    the HLO as a literal breaks remote compilation (and bloats the
+    compile cache); as device args the program is a few KB.
+    """
+    n = bits.shape[0]
+    cur = jnp.zeros(n, jnp.int32)
+    sb = (bits.astype(jnp.int8) * 2 - 1)      # +/-1 for dot-product Hamming
+    for _ in range(depth):
+        ch = children[cur]                                 # [N, k]
+        ok = ch >= 0
+        cd = node_desc[jnp.clip(ch, 0)]                    # [N, k, 256]
+        sc = (cd.astype(jnp.int8) * 2 - 1)
+        dot = jnp.einsum("nkb,nb->nk", sc.astype(jnp.int32),
+                         sb.astype(jnp.int32))
+        d = (256 - dot) // 2
+        d = jnp.where(ok, d, 999)
+        nxt = jnp.take_along_axis(ch, jnp.argmin(d, 1)[:, None], 1)[:, 0]
+        cur = jnp.where(ok.any(1), nxt, cur)
+    w = word_of_node[cur]
+    return jnp.where(valid, w, -1)
+
+
 class DeviceVocabulary:
     """Vocabulary arrays resident on device + a jitted batched descent."""
 
@@ -259,25 +286,10 @@ class DeviceVocabulary:
         self.word_of_node = jnp.asarray(voc.word_of_node)
         self.weights = jnp.asarray(voc.weights)
 
-    @functools.partial(jax.jit, static_argnums=(0,))
     def words(self, bits, valid):
         """bits [N, 256] {0,1} -> (word ids [N] int32 (-1 invalid))."""
-        n = bits.shape[0]
-        cur = jnp.zeros(n, jnp.int32)
-        sb = (bits.astype(jnp.int8) * 2 - 1)  # +/-1 for dot-product Hamming
-        for _ in range(self.depth):
-            ch = self.children[cur]                            # [N, k]
-            ok = ch >= 0
-            cd = self.node_desc[jnp.clip(ch, 0)]               # [N, k, 256]
-            sc = (cd.astype(jnp.int8) * 2 - 1)
-            dot = jnp.einsum("nkb,nb->nk", sc.astype(jnp.int32),
-                             sb.astype(jnp.int32))
-            d = (256 - dot) // 2
-            d = jnp.where(ok, d, 999)
-            nxt = jnp.take_along_axis(ch, jnp.argmin(d, 1)[:, None], 1)[:, 0]
-            cur = jnp.where(ok.any(1), nxt, cur)
-        w = self.word_of_node[cur]
-        return jnp.where(valid, w, -1)
+        return _descend(self.node_desc, self.children, self.word_of_node,
+                        bits, valid, self.depth)
 
 
 # ---------------------------------------------------------------------------

@@ -1,29 +1,40 @@
 """Batched multi-sequence VO: one SLAM instance per sequence, lockstep.
 
 The throughput configuration from BASELINE.json configs[3] ("all 8 EuRoC
-sequences mapped in parallel on one chip" / across a mesh): every device
-step is vmapped over the sequence axis, optionally sharded over a mesh's
-'data' axis. All sequences execute the same fixed-shape programs each
-frame; per-sequence keyframe decisions ride an ``enabled`` mask into the
-(vmapped) keyframe-insertion and BA programs, so control flow stays on the
-host and uniform across the batch.
+sequences mapped in parallel on one chip" / across a mesh). Like
+``pipeline.streaming.StreamingVO`` — and for the same reason (any host
+block through the tunneled device costs a ~30 ms polling quantum,
+tools/probe_tunnel.py) — the whole lockstep frame is ONE fused jitted
+step with no per-frame host round trips:
 
-This runner covers the VO configuration (tracking + keyframing + windowed
-BA); loop closure remains per-sequence host logic and is out of the
-batched hot path by design (it is rare and keyframe-driven).
+- tracking is vmapped over the sequence axis;
+- the per-sequence keyframe decisions live in the state as a device bool
+  vector; ``lax.cond(any(take_kf), ...)`` OUTSIDE the vmap skips the
+  keyframe work entirely on frames where no sequence needs it (a cond
+  under vmap would degenerate to executing both branches);
+- inside the keyframe branch every sequence runs the (enabled-masked)
+  insert + eviction + windowed BA; sequences whose window didn't change
+  converge in one LM iteration, so the vmapped while_loop costs what the
+  real keyframes cost;
+- poses/stats land in device ring buffers, fetched on access.
+
+With a mesh, all [S, ...] state is sharded over the 'data' axis (pure
+data parallelism, one sequence per device).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..config import SlamConfig
 from ..core import state as state_mod
+from ..core.state import KeyframeState, LandmarkState
 from ..frontend.features import extract_features
 from ..geometry import lie
 from ..io.calib import Calibration
@@ -31,175 +42,250 @@ from ..pipeline import ba_window, keyframe as kf_mod, tracking
 from ..solvers import ba
 
 
+class MultiSeqState(NamedTuple):
+    kf: KeyframeState         # [S, ...]
+    lm: LandmarkState         # [S, ...]
+    pose: jnp.ndarray         # [S, 7]
+    last_pose: jnp.ndarray    # [S, 7]
+    vel: jnp.ndarray          # [S, 7]
+    take_kf: jnp.ndarray      # [S] bool
+    last_kf_slot: jnp.ndarray  # [S] int32
+    frame: jnp.ndarray        # [] int32
+    key: jnp.ndarray
+    intr0: jnp.ndarray        # [8]
+    intr1: jnp.ndarray        # [8]
+    T_0_1: jnp.ndarray        # [7]
+    traj: jnp.ndarray         # [S, F, 7]
+    log_inliers: jnp.ndarray  # [S, F] int32
+    log_kf: jnp.ndarray       # [S, F] bool
+
+
+def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
+               pnp_threshold: float, S: int):
+    track1 = functools.partial(
+        tracking.track_frame,
+        cam_name=cam_name, num_features=cfg.num_features,
+        inview_cap=cfg.max_inview_landmarks, width=width, height=height,
+        z_threshold=cfg.cam_z_threshold,
+        match_max_dist_2d=cfg.match_max_dist_2d,
+        match_threshold=cfg.match_max_dist, match_ratio=cfg.match_next_best,
+        pnp_threshold=pnp_threshold, num_hypotheses=cfg.ransac_hypotheses,
+        min_matches=cfg.ransac_min_matches, quality_level=cfg.quality_level,
+        min_distance=cfg.min_distance, rotate_features=cfg.rotate_features,
+        num_octaves=cfg.num_octaves)
+
+    extract1 = functools.partial(
+        extract_features, num_features=cfg.num_features,
+        quality_level=cfg.quality_level, min_distance=cfg.min_distance,
+        rotate_features=cfg.rotate_features, num_octaves=cfg.num_octaves)
+
+    def step(state: MultiSeqState, imgs_l, imgs_r) -> MultiSeqState:
+        key, k = jax.random.split(state.key)
+        keys = jax.random.split(k, S)
+        res = jax.vmap(track1, in_axes=(0, 0, 0, 0, 0, 0, None))(
+            keys, imgs_l, state.lm, state.pose, state.last_pose, state.vel,
+            state.intr0)
+        ok = res.pnp_ok
+        pose = jnp.where(ok[:, None], res.T_w_c, state.pose)
+        K = state.kf.frame_id.shape[1]
+
+        def kf_branch(op):
+            kf, lm = op
+            feats_r = jax.vmap(extract1)(imgs_r)
+            stereo1 = functools.partial(
+                kf_mod.stereo_match, cam_name=cam_name,
+                threshold=cfg.match_max_dist, ratio=cfg.match_next_best,
+                epipolar_threshold=cfg.epipolar_error_threshold)
+            sj, sinl = jax.vmap(stereo1, in_axes=(0, 0, None, None, None))(
+                res.feats, feats_r, state.T_0_1, state.intr0, state.intr1)
+
+            def insert1(kf1, lm1, parent, pose1, fl, fr, sj1, si1, ml, li,
+                        en):
+                return kf_mod.insert_keyframe(
+                    kf1, lm1, state.frame, parent, pose1, state.T_0_1,
+                    fl, fr, sj1, si1, ml, li, state.intr0, state.intr1,
+                    cam_name=cam_name, enabled=en)
+
+            out = jax.vmap(insert1)(
+                kf, lm, state.last_kf_slot, pose, res.feats, feats_r,
+                sj, sinl, res.match_lm, res.inlier, state.take_kf)
+
+            def evict1(kf1, lm1):
+                act = kf1.valid & kf1.active
+                fid = jnp.where(act, kf1.frame_id, -1)
+                keep_n = min(cfg.max_num_kfs, K)
+                kth = lax.top_k(fid, keep_n)[0][keep_n - 1]
+                return kf_mod.deactivate_keyframes(kf1, lm1,
+                                                   act & (fid < kth))
+
+            kf2, lm2 = jax.vmap(evict1)(out.kf, out.lm)
+
+            if cfg.enable_lm_culling:
+                pressure = int(cfg.lm_cull_pressure * lm2.valid.shape[1])
+
+                def cull1(kf1, lm1):
+                    def do(a):
+                        k3, l3, _ = kf_mod.cull_landmarks(
+                            a[0], a[1], min_lifetime_obs=cfg.lm_cull_min_obs)
+                        return k3, l3
+
+                    return lax.cond(jnp.sum(lm1.valid) >= pressure, do,
+                                    lambda a: a, (kf1, lm1))
+
+                kf2, lm2 = jax.vmap(cull1)(kf2, lm2)
+
+            def wba1(kf1, lm1):
+                wp = ba_window.build_window_problem(
+                    kf1, lm1, state.intr0, state.intr1,
+                    W2=cfg.window_cams // 2, Lw=cfg.window_points,
+                    O=cfg.window_obs)
+                poses, points, _ = ba.solve_ba_schur(
+                    wp.prob, cam_name=cam_name, huber=cfg.ba_huber_px,
+                    max_iters=cfg.ba_max_iters)
+                return ba_window.merge_window_result(kf1, lm1, wp, poses,
+                                                     points)
+
+            kf3, lm3 = jax.vmap(wba1)(kf2, lm2)
+
+            in_cap = out.slot < K
+            slot_c = jnp.minimum(out.slot, K - 1)
+            pose_kf = jax.vmap(lambda kf1, s: kf1.pose_l[s])(kf3, slot_c)
+            took = state.take_kf & in_cap
+            pose2 = jnp.where(took[:, None], pose_kf, pose)
+            slot2 = jnp.where(took, out.slot,
+                              state.last_kf_slot).astype(jnp.int32)
+            return kf3, lm3, pose2, slot2
+
+        def tr_branch(op):
+            kf, lm = op
+            return kf, lm, pose, state.last_kf_slot
+
+        kf2, lm2, pose2, last_slot = lax.cond(
+            jnp.any(state.take_kf), kf_branch, tr_branch,
+            (state.kf, state.lm))
+
+        vel = jax.vmap(lambda a, b: lie.se3_mul(lie.se3_inv(a), b))(
+            state.last_pose, pose2)
+        n_inl = jnp.where(ok, res.num_inliers, 0)
+        if cfg.enable_vel_decay:
+            weak = ~ok | (n_inl < cfg.vel_decay_inlier_floor)
+            decayed = jax.vmap(
+                lambda v: lie.se3_exp(cfg.vel_decay_factor * lie.se3_log(v))
+            )(vel)
+            vel = jnp.where(weak[:, None], decayed, vel)
+        take_next = ~state.take_kf & (n_inl < cfg.new_kf_min_inliers)
+
+        f = state.frame
+        return state._replace(
+            kf=kf2, lm=lm2, pose=pose2, last_pose=pose2, vel=vel,
+            take_kf=take_next, last_kf_slot=last_slot, frame=f + 1, key=key,
+            traj=state.traj.at[:, f].set(pose2, mode="drop"),
+            log_inliers=state.log_inliers.at[:, f].set(n_inl, mode="drop"),
+            log_kf=state.log_kf.at[:, f].set(state.take_kf, mode="drop"),
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 class MultiSeqVO:
     """Lockstep VO over S sequences sharing one calibration."""
 
     def __init__(self, calib: Calibration, num_sequences: int,
-                 config: Optional[SlamConfig] = None, mesh=None):
+                 config: Optional[SlamConfig] = None, mesh=None,
+                 max_frames: int = 4096):
+        import math
+
         self.cfg = cfg = config or SlamConfig()
-        self.S = S = num_sequences
+        self.S = num_sequences
         self.calib = calib
         self.cam_name = calib.cam_types[0]
-        self.width, self.height = calib.width, calib.height
         self.mesh = mesh
+        self.max_frames = max_frames
+        pnp_thr = 1.0 - math.cos(math.atan(cfg.pnp_inlier_thresh_px / 500.0))
+        self._step = _make_step(cfg, self.cam_name, calib.width,
+                                calib.height, pnp_thr, num_sequences)
+        self._img_sharding = None
+        self.reset()
 
+    def reset(self):
+        cfg = self.cfg
+        S, F = self.S, self.max_frames
         dt = jnp.float32
-        self.intr0 = jnp.asarray(calib.intrinsics[0], dt)
-        self.intr1 = jnp.asarray(calib.intrinsics[1], dt)
-        T_i_c0 = jnp.asarray(calib.T_i_c[0], dt)
-        T_i_c1 = jnp.asarray(calib.T_i_c[1], dt)
-        self.T_0_1 = lie.se3_mul(lie.se3_inv(T_i_c0), T_i_c1)
 
         def batch(tree):
             return jax.tree.map(lambda x: jnp.stack([x] * S), tree)
 
-        self.lm = batch(state_mod.init_landmarks(cfg.max_landmarks,
-                                                 B=cfg.lm_desc_bank))
-        self.kf = batch(state_mod.init_keyframes(cfg.max_keyframes,
-                                                 cfg.num_features))
-        self.pose = jnp.tile(lie.identity_pose(dt), (S, 1))
-        self.last_pose = jnp.tile(lie.identity_pose(dt), (S, 1))
-        self.vel = jnp.tile(lie.identity_pose(dt), (S, 1))
-
-        if mesh is not None:
+        intr0 = jnp.asarray(self.calib.intrinsics[0], dt)
+        intr1 = jnp.asarray(self.calib.intrinsics[1], dt)
+        T_i_c0 = jnp.asarray(self.calib.T_i_c[0], dt)
+        T_i_c1 = jnp.asarray(self.calib.T_i_c[1], dt)
+        state = MultiSeqState(
+            kf=batch(state_mod.init_keyframes(cfg.max_keyframes,
+                                              cfg.num_features)),
+            lm=batch(state_mod.init_landmarks(cfg.max_landmarks,
+                                              B=cfg.lm_desc_bank)),
+            pose=jnp.tile(lie.identity_pose(dt), (S, 1)),
+            last_pose=jnp.tile(lie.identity_pose(dt), (S, 1)),
+            vel=jnp.tile(lie.identity_pose(dt), (S, 1)),
+            take_kf=jnp.ones((S,), bool),
+            last_kf_slot=jnp.full((S,), -1, jnp.int32),
+            frame=jnp.asarray(0, jnp.int32),
+            key=jax.random.PRNGKey(cfg.seed),
+            intr0=intr0, intr1=intr1,
+            T_0_1=lie.se3_mul(lie.se3_inv(T_i_c0), T_i_c1),
+            traj=jnp.zeros((S, F, 7), dt),
+            log_inliers=jnp.zeros((S, F), jnp.int32),
+            log_kf=jnp.zeros((S, F), bool),
+        )
+        if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            shard = NamedSharding(mesh, P("data"))
+            mesh = self.mesh
 
             def place(x):
-                return jax.device_put(x, NamedSharding(
-                    mesh, P("data", *([None] * (x.ndim - 1)))))
+                if x.ndim >= 1 and x.shape[0] == S:
+                    return jax.device_put(x, NamedSharding(
+                        mesh, P("data", *([None] * (x.ndim - 1)))))
+                return jax.device_put(x, NamedSharding(mesh, P()))
 
-            self.lm = jax.tree.map(place, self.lm)
-            self.kf = jax.tree.map(place, self.kf)
-
-        import math
-
-        pnp_thr = 1.0 - math.cos(math.atan(cfg.pnp_inlier_thresh_px / 500.0))
-
-        self._track = jax.vmap(functools.partial(
-            tracking.track_frame,
-            cam_name=self.cam_name, num_features=cfg.num_features,
-            inview_cap=cfg.max_inview_landmarks,
-            width=self.width, height=self.height,
-            z_threshold=cfg.cam_z_threshold,
-            match_max_dist_2d=cfg.match_max_dist_2d,
-            match_threshold=cfg.match_max_dist,
-            match_ratio=cfg.match_next_best,
-            pnp_threshold=pnp_thr,
-            num_hypotheses=cfg.ransac_hypotheses,
-            min_matches=cfg.ransac_min_matches,
-            quality_level=cfg.quality_level,
-            min_distance=cfg.min_distance,
-        ), in_axes=(0, 0, 0, 0, 0, 0, None))
-
-        self._extract = jax.vmap(functools.partial(
-            extract_features, num_features=cfg.num_features,
-            quality_level=cfg.quality_level,
-            min_distance=cfg.min_distance))
-
-        self._stereo = jax.vmap(functools.partial(
-            kf_mod.stereo_match, cam_name=self.cam_name,
-            threshold=cfg.match_max_dist, ratio=cfg.match_next_best,
-            epipolar_threshold=cfg.epipolar_error_threshold,
-        ), in_axes=(0, 0, None, None, None))
-
-        def _insert_one(kf1, lm1, fid, parent, pose1, T01, fl, fr, sj, si,
-                        ml, li, i0, i1, en):
-            return kf_mod.insert_keyframe(
-                kf1, lm1, fid, parent, pose1, T01, fl, fr, sj, si, ml, li,
-                i0, i1, cam_name=self.cam_name, enabled=en)
-
-        self._insert = jax.vmap(
-            _insert_one,
-            in_axes=(0, 0, None, 0, 0, None, 0, 0, 0, 0, 0, 0, None, None, 0))
-
-        self._deact = jax.vmap(kf_mod.deactivate_keyframes)
-
-        def window_ba(kf1, lm1):
-            wp = ba_window.build_window_problem(
-                kf1, lm1, self.intr0, self.intr1,
-                W2=cfg.window_cams // 2, Lw=cfg.window_points,
-                O=cfg.window_obs)
-            poses, points, stats = ba.solve_ba_schur(
-                wp.prob, cam_name=self.cam_name, huber=cfg.ba_huber_px,
-                max_iters=cfg.ba_max_iters)
-            kf2, lm2 = ba_window.merge_window_result(kf1, lm1, wp, poses,
-                                                     points)
-            return kf2, lm2
-
-        self._window_ba = jax.jit(jax.vmap(window_ba))
-
-        self.frame = 0
-        self.take_keyframe = np.ones(S, bool)
-        self.last_kf_slot = np.full(S, -1, np.int64)
-        self.kf_windows: List[List[int]] = [[] for _ in range(S)]
-        self.slot_of_frame: List[dict] = [{} for _ in range(S)]
-        self.trajectories: List[List[np.ndarray]] = [[] for _ in range(S)]
-        self.stats: List[dict] = []
-        self._key = jax.random.PRNGKey(cfg.seed)
+            state = jax.tree.map(place, state)
+            self._img_sharding = NamedSharding(mesh, P("data", None, None))
+        self.state = state
 
     # ------------------------------------------------------------------
     def process_frames(self, imgs_l, imgs_r) -> dict:
-        """One lockstep frame: imgs_* [S, H, W] uint8."""
-        cfg = self.cfg
-        S = self.S
-        self._key, k = jax.random.split(self._key)
-        keys = jax.random.split(k, S)
+        """One lockstep frame: imgs_* [S, H, W] uint8. Non-blocking."""
+        il = jnp.asarray(np.asarray(imgs_l))
+        ir = jnp.asarray(np.asarray(imgs_r))
+        if self._img_sharding is not None:
+            il = jax.device_put(il, self._img_sharding)
+            ir = jax.device_put(ir, self._img_sharding)
+        self.state = self._step(self.state, il, ir)
+        return {"frame": int(self.state.frame) - 1}
 
-        res = self._track(keys, jnp.asarray(imgs_l), self.lm, self.pose,
-                          self.pose, self.vel, self.intr0)
-        ok = np.asarray(res.pnp_ok)
-        n_inl = np.asarray(res.num_inliers)
-        pose = jnp.where(jnp.asarray(ok)[:, None], res.T_w_c, self.pose)
+    # ------------------- compat / results accessors -------------------
+    @property
+    def pose(self):
+        return self.state.pose
 
-        need_kf = self.take_keyframe | (n_inl < cfg.new_kf_min_inliers)
-        info = {"frame": self.frame, "inliers": n_inl.tolist(),
-                "keyframes": need_kf.tolist()}
+    @property
+    def kf(self):
+        return self.state.kf
 
-        if need_kf.any():
-            feats_r = self._extract(jnp.asarray(imgs_r))
-            sj, sinl = self._stereo(res.feats, feats_r, self.T_0_1,
-                                    self.intr0, self.intr1)
-            enabled = jnp.asarray(need_kf)
-            out = self._insert(
-                self.kf, self.lm,
-                jnp.asarray(self.frame, jnp.int32),
-                jnp.asarray(self.last_kf_slot, jnp.int32),
-                pose, self.T_0_1, res.feats, feats_r, sj, sinl,
-                res.match_lm, res.inlier, self.intr0, self.intr1, enabled)
-            self.kf, self.lm = out.kf, out.lm
-            slots = np.asarray(out.slot)
+    @property
+    def lm(self):
+        return self.state.lm
 
-            deact = np.zeros((S, cfg.max_keyframes), bool)
-            any_deact = False
-            for s in range(S):
-                if not need_kf[s]:
-                    continue
-                self.last_kf_slot[s] = slots[s]
-                self.slot_of_frame[s][self.frame] = int(slots[s])
-                self.kf_windows[s].append(self.frame)
-                while len(self.kf_windows[s]) > cfg.max_num_kfs:
-                    old = self.kf_windows[s].pop(0)
-                    deact[s, self.slot_of_frame[s][old]] = True
-                    any_deact = True
-                self.take_keyframe[s] = False
-            if any_deact:
-                self.kf, self.lm = self._deact(self.kf, self.lm,
-                                               jnp.asarray(deact))
-            self.kf, self.lm = self._window_ba(self.kf, self.lm)
-            # keyframe sequences adopt their optimized pose
-            kf_pose = jnp.take_along_axis(
-                self.kf.pose_l, jnp.asarray(slots)[:, None, None]
-                % cfg.max_keyframes, axis=1)[:, 0]
-            pose = jnp.where(enabled[:, None], kf_pose, pose)
+    @property
+    def trajectories(self):
+        """Per-sequence [F, 7] pose arrays (fetched from the device)."""
+        n, traj = jax.device_get((self.state.frame, self.state.traj))
+        return [traj[s, :int(n)] for s in range(self.S)]
 
-        self.vel = jax.vmap(lambda a, b: lie.se3_mul(lie.se3_inv(a), b))(
-            self.last_pose, pose)
-        self.last_pose = pose
-        self.pose = pose
-        for s in range(S):
-            self.trajectories[s].append(np.asarray(pose[s]))
-        self.frame += 1
-        self.stats.append(info)
-        return info
+    def results(self) -> dict:
+        n, traj, inl, kfm = jax.device_get(
+            (self.state.frame, self.state.traj, self.state.log_inliers,
+             self.state.log_kf))
+        n = int(n)
+        return {"frames": n, "trajectories": traj[:, :n],
+                "inliers": inl[:, :n], "is_keyframe": kfm[:, :n]}

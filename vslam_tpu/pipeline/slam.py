@@ -274,11 +274,17 @@ class SlamSystem:
         for cand in candidates:
             if fid[slot] - fid[cand] <= cfg.loop_closing_time_threshold:
                 continue
-            ok, sim3 = closure_mod.compute_sim3(
-                self.kf, self.lm, slot, cand,
-                sorted(self.covis.get(cand, {})), self.intr0, self.cam_name,
-                self.pnp_threshold, self._next_key(),
-                num_hypotheses=cfg.ransac_hypotheses)
+            if cfg.sim3_solver == "horn":
+                ok, sim3, _scale = closure_mod.compute_sim3_horn(
+                    self.kf, self.lm, slot, cand,
+                    sorted(self.covis.get(cand, {})), self._next_key(),
+                    num_hypotheses=cfg.ransac_hypotheses)
+            else:
+                ok, sim3 = closure_mod.compute_sim3(
+                    self.kf, self.lm, slot, cand,
+                    sorted(self.covis.get(cand, {})), self.intr0,
+                    self.cam_name, self.pnp_threshold, self._next_key(),
+                    num_hypotheses=cfg.ransac_hypotheses)
             if not ok:
                 continue
             if cfg.enable_loop_verification:

@@ -65,17 +65,34 @@ class StreamState(NamedTuple):
     log_inliers: jnp.ndarray  # [F] int32
     log_kf: jnp.ndarray       # [F] bool
     log_ok: jnp.ndarray       # [F] bool
+    log_slot: jnp.ndarray = None   # [F] int32 KF slot taken this frame (-1)
+    # place recognition (StreamingSLAM only; None in VO mode) — the BoW
+    # words and covisibility rows are produced on device inside the
+    # keyframe branch so the host can poll them in batches
+    voc_desc: jnp.ndarray = None        # [Nn, 256] uint8
+    voc_children: jnp.ndarray = None    # [Nn, k] int32
+    voc_word_of_node: jnp.ndarray = None  # [Nn] int32
+    kf_words: jnp.ndarray = None        # [K, N] int32
+    covis: jnp.ndarray = None           # [K, K] int32
 
 
 def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
-               pnp_threshold: float):
-    """Build the fused per-frame step as a donated jitted function."""
+               pnp_threshold: float, voc_depth: int = 0):
+    """Build the fused per-frame step as a donated jitted function.
+
+    ``voc_depth > 0`` compiles the BoW branch in (tree descent + word /
+    covisibility logging for the host's place-recognition poll)."""
 
     def step(state: StreamState, img_l, img_r) -> StreamState:
         key, k1 = jax.random.split(state.key)
 
+        # constant-velocity prediction for landmark projection (the
+        # reference's track_camera projects from current*vel,
+        # tracking.h:66-70); on fast rotation the previous pose alone
+        # pushes projections outside the 2D match gate
+        predicted = lie.se3_mul(state.cur_pose, state.vel)
         res = tracking.track_frame(
-            k1, img_l, state.lm, state.cur_pose, state.last_pose, state.vel,
+            k1, img_l, state.lm, predicted, state.last_pose, state.vel,
             state.intr0,
             cam_name=cam_name, num_features=cfg.num_features,
             inview_cap=cfg.max_inview_landmarks,
@@ -93,7 +110,9 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             num_octaves=cfg.num_octaves,
         )
         ok = res.pnp_ok
-        pose = jnp.where(ok, res.T_w_c, state.cur_pose)
+        # on failure coast on the motion model (tracking.h:72-84; the
+        # velocity-decay guard below keeps repeated losses from running away)
+        pose = jnp.where(ok, res.T_w_c, predicted)
         K = state.kf.frame_id.shape[0]
 
         def kf_branch(op):
@@ -155,13 +174,30 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
                                                                K - 1)], pose)
             slot = jnp.where(in_cap, out.slot,
                              state.last_kf_slot).astype(jnp.int32)
-            return kf3, lm3, pose_kf, slot
+            if voc_depth > 0:
+                from ..loop import vocabulary as vocab_mod
+
+                words = vocab_mod._descend(
+                    state.voc_desc, state.voc_children,
+                    state.voc_word_of_node, res.feats.bits, res.feats.valid,
+                    voc_depth)
+                kf_words = state.kf_words.at[out.slot].set(words,
+                                                           mode="drop")
+                covis = state.covis.at[out.slot, :].set(
+                    out.covis_weight, mode="drop")
+                covis = covis.at[:, jnp.minimum(out.slot, K - 1)].set(
+                    jnp.where(out.slot < K, out.covis_weight,
+                              covis[:, jnp.minimum(out.slot, K - 1)]))
+            else:
+                kf_words, covis = state.kf_words, state.covis
+            return kf3, lm3, pose_kf, slot, kf_words, covis
 
         def tr_branch(op):
             kf, lm = op
-            return kf, lm, pose, state.last_kf_slot
+            return (kf, lm, pose, state.last_kf_slot, state.kf_words,
+                    state.covis)
 
-        kf2, lm2, pose2, last_slot = lax.cond(
+        kf2, lm2, pose2, last_slot, kf_words, covis = lax.cond(
             state.take_kf, kf_branch, tr_branch, (state.kf, state.lm))
 
         # advance (slam.cpp:1299-1301,1453-1455) + velocity-decay guard
@@ -190,6 +226,10 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             log_inliers=state.log_inliers.at[f].set(n_inl, mode="drop"),
             log_kf=state.log_kf.at[f].set(state.take_kf, mode="drop"),
             log_ok=state.log_ok.at[f].set(ok, mode="drop"),
+            log_slot=state.log_slot.at[f].set(
+                jnp.where(state.take_kf, last_slot, -1), mode="drop"),
+            kf_words=kf_words,
+            covis=covis,
         )
 
     return jax.jit(step, donate_argnums=(0,))
@@ -200,17 +240,21 @@ class StreamingVO:
 
     def __init__(self, calib: Calibration,
                  config: Optional[SlamConfig] = None,
-                 max_frames: int = 8192):
+                 max_frames: int = 8192,
+                 vocabulary=None):
         import math
 
         self.cfg = cfg = config or SlamConfig()
         self.calib = calib
         self.cam_name = calib.cam_types[0]
         self.max_frames = max_frames
+        self.voc = vocabulary
         pnp_threshold = 1.0 - math.cos(
             math.atan(cfg.pnp_inlier_thresh_px / 500.0))
-        self._step = _make_step(cfg, self.cam_name, calib.width,
-                                calib.height, pnp_threshold)
+        self.pnp_threshold = pnp_threshold
+        self._step = _make_step(
+            cfg, self.cam_name, calib.width, calib.height, pnp_threshold,
+            voc_depth=vocabulary.depth if vocabulary is not None else 0)
         self.reset()
 
     def reset(self):
@@ -221,6 +265,17 @@ class StreamingVO:
         T_i_c0 = jnp.asarray(self.calib.T_i_c[0], dt)
         T_i_c1 = jnp.asarray(self.calib.T_i_c[1], dt)
         F = self.max_frames
+        if self.voc is not None:
+            K = cfg.max_keyframes
+            bow_fields = dict(
+                voc_desc=jnp.asarray(self.voc.node_desc),
+                voc_children=jnp.asarray(self.voc.children),
+                voc_word_of_node=jnp.asarray(self.voc.word_of_node),
+                kf_words=jnp.full((K, cfg.num_features), -1, jnp.int32),
+                covis=jnp.zeros((K, K), jnp.int32),
+            )
+        else:
+            bow_fields = {}
         self.state = StreamState(
             kf=state_mod.init_keyframes(cfg.max_keyframes, cfg.num_features),
             lm=state_mod.init_landmarks(cfg.max_landmarks,
@@ -238,6 +293,8 @@ class StreamingVO:
             log_inliers=jnp.zeros((F,), jnp.int32),
             log_kf=jnp.zeros((F,), bool),
             log_ok=jnp.zeros((F,), bool),
+            log_slot=jnp.full((F,), -1, jnp.int32),
+            **bow_fields,
         )
 
     def process_frame(self, img_l, img_r):
@@ -298,3 +355,158 @@ class StreamingVO:
         poses = poses[valid]
         order = np.argsort(fids)
         return fids[order], poses[order][:, :3], poses[order]
+
+
+class StreamingSLAM(StreamingVO):
+    """Streaming full SLAM: the sync-free VO stream + lagged host-side
+    place recognition and loop closure.
+
+    The stream runs exactly like StreamingVO (no per-frame syncs); every
+    ``poll_every`` frames the host pays ONE polling quantum to fetch the
+    keyframe event log, and for each new keyframe reads its device-computed
+    BoW words + covisibility row, updates the inverted-file database, and
+    runs the loop detector (loop_closure_utils.h:141-388 semantics). When a
+    consistent candidate passes compute_sim3 + geometric verification, the
+    stream is paused (one sync), the essential-graph closure is applied to
+    the live state, and streaming resumes. Because ``fixed_current_kf``
+    holds the current keyframe fixed, the correction moves the OLD map into
+    the stream's gauge — in-flight tracking stays consistent.
+
+    The closure lands up to ``poll_every`` frames after the keyframe that
+    triggered it; the reference has the same character (its loop closure +
+    global BA run on background threads and merge later,
+    slam.cpp:1410-1447). Relocalization is not part of the streaming
+    driver — use SlamSystem when tracking-loss recovery is required.
+
+    A pretrained vocabulary is required (the reference equally loads
+    ORBvoc.txt before processing, slam.cpp:370-380).
+    """
+
+    def __init__(self, calib: Calibration, config: Optional[SlamConfig],
+                 vocabulary, max_frames: int = 8192, poll_every: int = 16):
+        if vocabulary is None:
+            raise ValueError("StreamingSLAM requires a pretrained "
+                             "vocabulary (loop.vocabulary.train or "
+                             "load_dbow2_text)")
+        super().__init__(calib, config, max_frames, vocabulary=vocabulary)
+        from ..loop.detector import LoopDetector
+
+        self.poll_every = poll_every
+        self.detector = LoopDetector(self.cfg.num_consistency)
+        self.covis_host: dict = {}
+        self.frame_of_slot: dict = {}
+        self.loop_edges: list = []
+        self._polled_to = 0
+        self._host_key = jax.random.PRNGKey(self.cfg.seed + 1)
+
+    def _next_key(self):
+        self._host_key, k = jax.random.split(self._host_key)
+        return k
+
+    def run(self, frames, prefetch: int = 24, sync_every: int = 0,
+            chunk: int = 0):
+        del sync_every, chunk  # polling provides the queue bound
+        n = len(frames)
+        buf = {}
+
+        def put(i):
+            buf[i] = (jax.device_put(jnp.asarray(frames[i][0])),
+                      jax.device_put(jnp.asarray(frames[i][1])))
+
+        for i in range(min(prefetch, n)):
+            put(i)
+        for i in range(n):
+            il, ir = buf.pop(i)
+            self.state = self._step(self.state, il, ir)
+            j = i + prefetch
+            if j < n:
+                put(j)
+            if (i + 1) % self.poll_every == 0:
+                self.poll()
+        self.poll()
+        return n
+
+    # ------------------------------------------------------------------
+    def poll(self):
+        """Process keyframe events logged since the last poll."""
+        n, kf_log, slot_log = jax.device_get(
+            (self.state.frame, self.state.log_kf, self.state.log_slot))
+        n = int(n)
+        events = [(f, int(slot_log[f])) for f in range(self._polled_to, n)
+                  if kf_log[f] and slot_log[f] >= 0]
+        self._polled_to = n
+        for frame_idx, slot in events:
+            self._handle_keyframe(frame_idx, slot)
+
+    def _graph_sets(self):
+        return {s: set(d) for s, d in self.covis_host.items()}
+
+    def _handle_keyframe(self, frame_idx: int, slot: int):
+        from ..loop import closure as closure_mod
+        from ..loop import vocabulary as vocab_mod
+
+        cfg = self.cfg
+        self.frame_of_slot[slot] = frame_idx
+        words, covis_row = jax.device_get(
+            (self.state.kf_words[slot], self.state.covis[slot]))
+        edges = {int(s): int(covis_row[s])
+                 for s in np.nonzero(covis_row >= cfg.num_cov_threshold)[0]
+                 if s != slot}
+        self.covis_host[slot] = edges
+        for s, w in edges.items():
+            self.covis_host.setdefault(s, {})[slot] = w
+
+        bow = vocab_mod.bow_from_words(self.voc, words)
+        if not bow:
+            return
+        candidates = self.detector.detect(
+            slot, bow, edges, self._graph_sets(), 2 * cfg.num_cov_threshold,
+            essential_threshold=cfg.num_ess_threshold)
+        for cand in candidates:
+            gap = frame_idx - self.frame_of_slot.get(cand, frame_idx)
+            if gap <= cfg.loop_closing_time_threshold:
+                continue
+            ok, sim3 = closure_mod.compute_sim3(
+                self.state.kf, self.state.lm, slot, cand,
+                sorted(self.covis_host.get(cand, {})), self.state.intr0,
+                self.cam_name, self.pnp_threshold, self._next_key(),
+                num_hypotheses=cfg.ransac_hypotheses)
+            if not ok:
+                continue
+            if cfg.enable_loop_verification:
+                n_inl, n_vis = closure_mod.verify_loop(
+                    self.state.kf, self.state.lm, slot, cand,
+                    sorted(self.covis_host.get(cand, {})), sim3,
+                    self.state.intr0, self.cam_name,
+                    self.calib.width, self.calib.height,
+                    px_gate=cfg.loop_verify_px,
+                    threshold=cfg.match_max_dist,
+                    ratio=cfg.match_next_best)
+                if (n_inl < cfg.loop_verify_min_inliers
+                        or n_inl < cfg.loop_verify_min_ratio
+                        * max(n_vis, 1)):
+                    continue
+            if not cfg.use_sim3:
+                sim3 = lie.identity_pose()
+            # late application: the stream has tracked past `slot` by up to
+            # poll_every frames — hold the live gauge (slot + every newer
+            # keyframe) fixed and let the pose graph drag the OLD map over
+            newer = [s for s, f in self.frame_of_slot.items()
+                     if f >= self.frame_of_slot[slot]]
+            kf2, lm2, _ = closure_mod.loop_closure(
+                self.state.kf, self.state.lm, slot, cand, sim3,
+                self.covis_host, self.state.T_0_1,
+                essential_threshold=cfg.num_ess_threshold,
+                fixed_current=True, align_current=False,
+                extra_fixed=newer,
+                huber=1.0, max_iters=20)
+            self.state = self.state._replace(kf=kf2, lm=lm2)
+            self.loop_edges.append((slot, cand))
+            if cfg.enable_gba_after_loop:
+                from . import ba_global
+
+                kf3, lm3, _ = ba_global.run_global_ba(
+                    self.state.kf, self.state.lm, self.state.intr0,
+                    self.state.intr1, cam_name=self.cam_name,
+                    huber=cfg.ba_huber_px)
+                self.state = self.state._replace(kf=kf3, lm=lm3)

@@ -264,6 +264,47 @@ def generate(
                              points=points)
 
 
+def degrade(images, seed: int = 0, noise_std: float = 4.0,
+            exposure_amp: float = 0.25, blur: bool = True,
+            vignette: float = 0.25):
+    """EuRoC-like photometric degradation for synthetic sequences.
+
+    Real MAV footage differs from clean renders in ways that stress the
+    frontend: sensor noise, auto-exposure gain drift between frames, mild
+    motion blur, and lens vignetting. Applied per frame pair:
+    - gaussian sensor noise (std ``noise_std`` gray levels);
+    - per-frame exposure gain following a smooth random walk within
+      [1-exposure_amp, 1+exposure_amp] (left/right share the gain, like a
+      synchronized stereo rig);
+    - 3x3 box blur (one pass) when ``blur``;
+    - radial vignetting darkening corners by up to ``vignette``.
+
+    Returns a new list of (left, right) uint8 pairs.
+    """
+    rng = np.random.RandomState(seed + 77)
+    out = []
+    h, w = images[0][0].shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    r2 = (((xx - w / 2) / (w / 2)) ** 2 + ((yy - h / 2) / (h / 2)) ** 2)
+    vig = 1.0 - vignette * np.clip(r2, 0, 1)
+    gain = 1.0
+    for img_l, img_r in images:
+        gain = float(np.clip(gain + rng.normal(0, 0.05),
+                             1 - exposure_amp, 1 + exposure_amp))
+        pair = []
+        for img in (img_l, img_r):
+            f = img.astype(np.float64)
+            if blur:
+                p = np.pad(f, 1, mode="edge")
+                f = (p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+                     + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+                     + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]) / 9.0
+            f = f * gain * vig + rng.normal(0, noise_std, f.shape)
+            pair.append(np.clip(f, 0, 255).astype(np.uint8))
+        out.append((pair[0], pair[1]))
+    return out
+
+
 def multiscale_texture(size: int = 1024, seed: int = 0) -> np.ndarray:
     """Band-limited texture with structure at several spatial scales.
 
