@@ -94,3 +94,27 @@ def test_streaming_reset_reproducible(seq):
     vo.run(seq.images[:10], chunk=8, sync_every=0)
     t2 = vo.results()["trajectory"]
     assert np.array_equal(t1, t2)
+
+
+def test_streaming_checkpoint_resume(seq, tmp_path):
+    """Stop a stream mid-run, checkpoint, restore into a fresh driver,
+    continue — bit-identical to the uninterrupted run."""
+    from vslam_tpu.utils import checkpoint
+
+    cfg = small_config()
+    full = StreamingVO(seq.calib, cfg, max_frames=64)
+    full.run(seq.images, sync_every=0)
+    ref = full.results()["trajectory"]
+
+    a = StreamingVO(seq.calib, cfg, max_frames=64)
+    a.run(seq.images[:10], sync_every=0)
+    import jax
+
+    jax.block_until_ready(a.state.frame)
+    checkpoint.save_stream(a, str(tmp_path / "ck"))
+
+    b = StreamingVO(seq.calib, cfg, max_frames=64)
+    checkpoint.load_stream(b, str(tmp_path / "ck"))
+    b.run(seq.images[10:], sync_every=0)
+    got = b.results()["trajectory"]
+    assert np.array_equal(ref, got)

@@ -38,7 +38,16 @@ def main(argv=None):
     p.add_argument("--metrics", default="")
     p.add_argument("--viz-html", default="", help="write an interactive "
                    "HTML map/trajectory viewer (Pangolin-loop replacement)")
+    p.add_argument("--driver", default="slam",
+                   choices=["slam", "streaming"],
+                   help="'slam' = faithful per-frame driver (reloc + loop "
+                   "closure, reference semantics); 'streaming' = sync-free "
+                   "fused-step driver (max throughput; loop closure needs "
+                   "--voc-path, relocalization unsupported)")
     args = p.parse_args(argv)
+
+    if args.driver == "streaming":
+        return _main_streaming(args)
 
     from .config import SlamConfig
     from .eval import ate as ate_mod
@@ -126,6 +135,95 @@ def main(argv=None):
             title=f"vslam_tpu — {args.map_name} "
                   f"(ATE {ate_val:.3f} m)" if ate_val == ate_val
                   else f"vslam_tpu — {args.map_name}")
+        print(f"Wrote viewer: {args.viz_html}", file=sys.stderr)
+    return 0
+
+
+def _main_streaming(args):
+    """Streaming-driver path: maximum throughput on a real device."""
+    import jax
+
+    from .config import SlamConfig
+    from .eval import ate as ate_mod
+    from .io import calib as calib_mod
+    from .io import euroc, map_io
+    from .pipeline.streaming import StreamingSLAM, StreamingVO
+
+    cfg = SlamConfig.from_json(args.config) if args.config else SlamConfig()
+    cfg.enable_relocalization = False
+    if args.no_loop or not args.voc_path:
+        cfg.enable_loop_closure = False
+
+    calib = calib_mod.load_calibration(args.cam_calib)
+    seq = euroc.load_sequence(args.dataset_path)
+    n = seq.num_frames if args.max_frames <= 0 else min(
+        seq.num_frames, args.max_frames)
+    pf = euroc.Prefetcher(seq.image_paths[:n], depth=16, workers=3)
+    frames = [pf.get(i) for i in range(n)]
+
+    if cfg.enable_loop_closure:
+        from .loop import vocabulary as vocab_mod
+
+        voc = vocab_mod.load_dbow2_text(args.voc_path)
+        print(f"Loaded vocabulary: {voc.num_words} words", file=sys.stderr)
+        slam = StreamingSLAM(calib, cfg, voc, max_frames=n + 8)
+    else:
+        slam = StreamingVO(calib, cfg, max_frames=n + 8)
+
+    t0 = time.perf_counter()
+    slam.run(frames)
+    jax.block_until_ready(slam.state.frame)
+    elapsed = time.perf_counter() - t0
+    print(f"Processed {n} frames in {elapsed:.1f}s ({n / elapsed:.1f} fps, "
+          f"streaming driver)", file=sys.stderr)
+
+    res = slam.results()
+    if args.metrics:
+        with open(args.metrics, "w") as f:
+            for i in range(res["frames"]):
+                f.write(json.dumps({
+                    "frame": i,
+                    "kind": "keyframe" if bool(res["is_keyframe"][i])
+                            else "track",
+                    "inliers": int(res["inliers"][i]),
+                    "ok": bool(res["tracked_ok"][i]),
+                }) + "\n")
+
+    fids, est_pos, est_poses = slam.keyframe_trajectory()
+    ate_val = float("nan")
+    gt_out = np.zeros((0, 3))
+    if seq.gt_positions is not None and len(fids) >= 3:
+        est_t_ns = seq.timestamps[fids]
+        ate_val = ate_mod.ate_rmse(est_t_ns, est_pos, seq.gt_timestamps,
+                                   seq.gt_positions)
+        gt_out = seq.gt_positions
+        print(f"ATE RMSE: {ate_val:.3f} m over {len(fids)} keyframes",
+              file=sys.stderr)
+
+    lm_valid, lm_pos = jax.device_get((slam.state.lm.valid,
+                                       slam.state.lm.pos))
+    cams = [((int(f), 0), est_poses[i]) for i, f in enumerate(fids)]
+    lms = [(int(i), lm_pos[i]) for i in np.nonzero(lm_valid)[0]]
+    out = f"{args.map_name}.json"
+    map_io.save_map(out, cams, lms, est_pos, gt_out, ate_val)
+    print(f"Saved map as {out} ({len(cams)} cameras, {len(lms)} landmarks)",
+          file=sys.stderr)
+
+    if args.viz_html:
+        from .viz import html_viewer
+
+        loop_xyz = []
+        if hasattr(slam, "loop_edges"):
+            pl = np.asarray(jax.device_get(slam.state.kf.pose_l))
+            loop_xyz = [(pl[a, :3], pl[b, :3]) for a, b in slam.loop_edges]
+        html_viewer.write_html(
+            args.viz_html, res["trajectory"][:, :3],
+            landmarks=lm_pos[lm_valid],
+            gt=gt_out if len(gt_out) else None,
+            keyframes=est_poses,
+            inliers=res["inliers"], is_keyframe=res["is_keyframe"],
+            loop_edges=loop_xyz,
+            title=f"vslam_tpu (streaming) — {args.map_name}")
         print(f"Wrote viewer: {args.viz_html}", file=sys.stderr)
     return 0
 

@@ -65,6 +65,84 @@ def save(slam: "SlamSystem", path: str) -> None:
         json.dump(host, f)
 
 
+def save_stream(vo, path: str) -> None:
+    """Checkpoint a StreamingVO / StreamingSLAM (pipeline/streaming.py).
+
+    The stream state is one pytree; one blocking fetch writes it all.
+    StreamingSLAM's host bookkeeping (detector db, covis cache, loop
+    edges) goes to the JSON sidecar.
+    """
+    import jax
+
+    st = jax.device_get(vo.state)
+    arrays = {}
+    for field, val in st._asdict().items():
+        if val is None:
+            continue
+        if hasattr(val, "_asdict"):   # nested KeyframeState/LandmarkState
+            for f2, v2 in val._asdict().items():
+                arrays[f"{field}.{f2}"] = np.asarray(v2)
+        else:
+            arrays[field] = np.asarray(val)
+    np.savez_compressed(path + ".npz", **arrays)
+
+    host = {"kind": type(vo).__name__}
+    if hasattr(vo, "detector"):
+        host.update({
+            "polled_to": vo._polled_to,
+            "covis_host": {str(k): v for k, v in vo.covis_host.items()},
+            "frame_of_slot": {str(k): v for k, v in
+                              vo.frame_of_slot.items()},
+            "loop_edges": vo.loop_edges,
+            "host_key": np.asarray(vo._host_key).tolist(),
+            "db_inverted": {str(k): v for k, v in
+                            vo.detector.db.inverted.items()},
+            "db_bow": {str(k): v for k, v in vo.detector.db.bow_of.items()},
+            "consistent_groups": [
+                [sorted(g), n] for g, n in vo.detector.consistent_groups],
+        })
+    with open(path + ".json", "w") as f:
+        json.dump(host, f)
+
+
+def load_stream(vo, path: str):
+    """Restore a stream checkpoint into an initialized driver of the same
+    configuration. Returns the driver."""
+    data = np.load(path + ".npz")
+    st = vo.state
+    fields = {}
+    for field, val in st._asdict().items():
+        if val is None:
+            fields[field] = None
+        elif hasattr(val, "_asdict"):
+            fields[field] = type(val)(**{
+                f2: jnp.asarray(data[f"{field}.{f2}"])
+                for f2 in val._fields})
+        else:
+            fields[field] = jnp.asarray(data[field])
+    vo.state = type(st)(**fields)
+
+    with open(path + ".json") as f:
+        host = json.load(f)
+    if hasattr(vo, "detector") and "db_inverted" in host:
+        vo._polled_to = host["polled_to"]
+        vo.covis_host = {int(k): {int(s): w for s, w in d.items()}
+                         for k, d in host["covis_host"].items()}
+        vo.frame_of_slot = {int(k): v for k, v in
+                            host["frame_of_slot"].items()}
+        vo.loop_edges = [tuple(e) for e in host["loop_edges"]]
+        vo._host_key = jnp.asarray(np.asarray(host["host_key"],
+                                              np.uint32))
+        vo.detector.db.inverted = {
+            int(k): list(v) for k, v in host["db_inverted"].items()}
+        vo.detector.db.bow_of = {
+            int(k): {int(w): x for w, x in d.items()}
+            for k, d in host["db_bow"].items()}
+        vo.detector.consistent_groups = [
+            (set(g), n) for g, n in host["consistent_groups"]]
+    return vo
+
+
 def load(slam: "SlamSystem", path: str) -> "SlamSystem":
     """Restore state saved by ``save`` into an initialized SlamSystem."""
     data = np.load(path + ".npz")
