@@ -118,3 +118,24 @@ def test_streaming_checkpoint_resume(seq, tmp_path):
     b.run(seq.images[10:], sync_every=0)
     got = b.results()["trajectory"]
     assert np.array_equal(ref, got)
+
+
+def test_streaming_culling_under_pressure(seq):
+    """Tiny landmark capacity: the in-step cull cond must recycle slots
+    instead of silently dropping writes (streaming analogue of
+    tests/test_lm_recycling.py)."""
+    cfg = small_config()
+    cfg.max_landmarks = 512          # ~1 keyframe's worth
+    cfg.lm_cull_pressure = 0.5
+    cfg.lm_cull_min_obs = 3
+    vo = StreamingVO(seq.calib, cfg, max_frames=64)
+    vo.run(seq.images, sync_every=0)
+    res = vo.results()
+    assert res["is_keyframe"].sum() >= 4
+    # tracking survived capacity churn
+    assert res["tracked_ok"][2:].mean() > 0.8
+    import jax
+
+    n_valid = int(jax.device_get(vo.state.lm.valid.sum()))
+    assert n_valid <= cfg.max_landmarks
+    assert n_valid > 50, "map collapsed instead of recycling"
