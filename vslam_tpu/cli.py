@@ -38,6 +38,9 @@ def main(argv=None):
     p.add_argument("--metrics", default="")
     p.add_argument("--viz-html", default="", help="write an interactive "
                    "HTML map/trajectory viewer (Pangolin-loop replacement)")
+    p.add_argument("--trace", default="", help="capture a jax.profiler "
+                   "trace (xplane, TensorBoard/Perfetto-viewable) of the "
+                   "frame loop into this directory")
     p.add_argument("--driver", default="slam",
                    choices=["slam", "streaming"],
                    help="'slam' = faithful per-frame driver (reloc + loop "
@@ -77,18 +80,21 @@ def main(argv=None):
         print(f"Loaded vocabulary: {slam.voc.num_words} words",
               file=sys.stderr)
 
+    from .utils import profiling
+
     metrics_f = open(args.metrics, "w") if args.metrics else None
     pf = euroc.Prefetcher(seq.image_paths[:n], depth=8, workers=2)
     t0 = time.perf_counter()
-    for i in range(n):
-        img_l, img_r = pf.get(i)
-        t_frame = time.perf_counter()
-        info = slam.process_frame(img_l, img_r)
-        info["ms"] = round(1000 * (time.perf_counter() - t_frame), 2)
-        if metrics_f:
-            metrics_f.write(json.dumps(info) + "\n")
-        if info["kind"] == "keyframe" or i % 50 == 0:
-            print(f"[{i}/{n}] {info}", file=sys.stderr)
+    with profiling.trace(args.trace or None):
+        for i in range(n):
+            img_l, img_r = pf.get(i)
+            t_frame = time.perf_counter()
+            info = slam.process_frame(img_l, img_r)
+            info["ms"] = round(1000 * (time.perf_counter() - t_frame), 2)
+            if metrics_f:
+                metrics_f.write(json.dumps(info) + "\n")
+            if info["kind"] == "keyframe" or i % 50 == 0:
+                print(f"[{i}/{n}] {info}", file=sys.stderr)
     elapsed = time.perf_counter() - t0
     print(f"Processed {n} frames in {elapsed:.1f}s ({n / elapsed:.1f} fps)",
           file=sys.stderr)
@@ -170,9 +176,12 @@ def _main_streaming(args):
     else:
         slam = StreamingVO(calib, cfg, max_frames=n + 8)
 
+    from .utils import profiling
+
     t0 = time.perf_counter()
-    slam.run(frames)
-    jax.block_until_ready(slam.state.frame)
+    with profiling.trace(args.trace or None):
+        slam.run(frames)
+        jax.block_until_ready(slam.state.frame)
     elapsed = time.perf_counter() - t0
     print(f"Processed {n} frames in {elapsed:.1f}s ({n / elapsed:.1f} fps, "
           f"streaming driver)", file=sys.stderr)
