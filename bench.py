@@ -189,7 +189,8 @@ def bench_multiseq(num_seq: int = 8, num_frames: int = 30):
     import numpy as np
 
     seqs = [synthetic.generate(num_frames=num_frames, num_points=500,
-                               width=752, height=480, seed=10 + s)
+                               width=752, height=480, seed=10 + s,
+                               speed=3.0)
             for s in range(num_seq)]
     cfg = SlamConfig(
         enable_relocalization=False, enable_loop_closure=False,

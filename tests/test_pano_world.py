@@ -68,13 +68,13 @@ def test_organic_loop_closure():
     from vslam_tpu.loop import vocabulary as vocab_mod
     from vslam_tpu.pipeline.slam import SlamSystem
 
-    seq = generate_pano_loop(num_frames=224, revolutions=1.5, seed=2)
+    seq = generate_pano_loop(num_frames=256, revolutions=1.75, seed=2)
 
     # pretrained vocabulary from a coarse sweep of the environment (the
     # reference ships ORBvoc.txt; an online-trained 4-keyframe vocabulary
     # is too start-biased for sharp revisit scores)
     pool = []
-    for f in range(0, 224, 8):
+    for f in range(0, 256, 8):
         ft = extract_features(jnp.asarray(seq.images[f][0]),
                               num_features=600, quality_level=0.001)
         pool.append(np.asarray(ft.bits)[np.asarray(ft.valid)])

@@ -436,6 +436,10 @@ class StreamingSLAM(StreamingVO):
                   if kf_log[f] and slot_log[f] >= 0]
         self._polled_to = n
         for frame_idx, slot in events:
+            if slot in self.frame_of_slot:
+                # keyframe-capacity overflow logs the stale last slot;
+                # re-handling would duplicate inverted-file entries
+                continue
             self._handle_keyframe(frame_idx, slot)
 
     def _graph_sets(self):

@@ -314,6 +314,35 @@ def _schur_solve(Hcc, Hpp, U, bc, bp, pose_fixed, point_valid, lam):
     return delta_c, delta_p
 
 
+def _lm_gain_update(cost, new_cost, lam, nu, pred, step_inf,
+                    step_cap: float, ftol: float):
+    """Gain-ratio LM damping control (Madsen et al. / Ceres flavor).
+
+    A step is accepted only when the actual reduction is positive, the
+    gain ratio rho = actual / predicted (predicted from the damped
+    quadratic model, 0.5*(lam*||d||^2 - b.d)) is positive, and the step is
+    finite and bounded. The old naive `new_cost < cost` rule let the
+    robustified cost pay for exiling weakly-constrained cameras kilometers
+    away — a saturated Huber residual is cheap, so a step that helps many
+    near-threshold residuals while destroying one camera "reduces" cost;
+    compounding over per-keyframe window solves, map poses exploded while
+    live tracking stayed healthy. Gain-ratio control + the step-norm guard
+    rejects such steps (their rho is tiny: huge ||d||^2 inflates pred).
+
+    Returns (accept, converged, lam_new, nu_new).
+    """
+    actual = cost - new_cost
+    rho = actual / jnp.maximum(pred, 1e-20)
+    sane = jnp.isfinite(new_cost) & (step_inf < step_cap)
+    accept = (actual > 0) & (rho > 1e-3) & sane
+    converged = accept & (actual <= ftol * jnp.abs(cost))
+    fac = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+    lam_new = jnp.where(accept, lam * fac, lam * nu)
+    nu_new = jnp.where(accept, jnp.asarray(2.0, lam.dtype), nu * 2.0)
+    return (accept, converged, jnp.clip(lam_new, 1e-9, 1e8),
+            jnp.minimum(nu_new, 64.0))
+
+
 @functools.partial(jax.jit, static_argnames=("cam_name", "max_iters"))
 def solve_ba_schur(
     prob: BAProblem,
@@ -321,6 +350,7 @@ def solve_ba_schur(
     huber: float = 1.0,
     max_iters: int = 20,
     lam0: float = 1e-4,
+    step_cap: float = 10.0,
 ):
     """LM bundle adjustment with explicit Schur elimination.
 
@@ -341,13 +371,13 @@ def solve_ba_schur(
     ftol = 1e-6
 
     def cond(carry):
-        _, _, _, _, it, done = carry
+        it, done = carry[-2], carry[-1]
         return (it < max_iters) & ~done
 
     gtol = 0.05  # relative gradient tolerance (see done_grad below)
 
     def body(carry):
-        poses, points, lam, cost, it, done = carry
+        poses, points, lam, nu, cost, it, done = carry
         Hcc, Hpp, U, bc, bp, _ = _normal_equations(
             cam_name, prob, poses, points, huber
         )
@@ -357,9 +387,10 @@ def solve_ba_schur(
         # convergence vs ~1e4 one millimetre away on a window-sized problem,
         # so a relative threshold exits after a single iteration.
         free_c = (~prob.pose_fixed)[:, None].astype(bc.dtype)
+        free_p = prob.point_valid[:, None].astype(bp.dtype)
         g_inf = jnp.maximum(
             jnp.max(jnp.abs(bc) * free_c),
-            jnp.max(jnp.abs(bp) * prob.point_valid[:, None].astype(bp.dtype)))
+            jnp.max(jnp.abs(bp) * free_p))
         done_grad = g_inf <= gtol * (1.0 + cost)
         dc, dp = _schur_solve(
             Hcc, Hpp, U, bc, bp, prob.pose_fixed, prob.point_valid, lam
@@ -368,22 +399,30 @@ def solve_ba_schur(
         new_poses = jnp.where(prob.pose_fixed[:, None], poses, new_poses)
         new_points = points + dp
         new_cost = cost_of(new_poses, new_points)
-        accept = new_cost < cost
-        converged = accept & ((cost - new_cost) <= ftol * jnp.abs(cost))
+        # gain ratio vs the damped model: pred = 0.5*(lam*||d||^2 - b.d)
+        dcf = dc * free_c
+        dpf = dp * free_p
+        d_sq = jnp.sum(dcf * dcf) + jnp.sum(dpf * dpf)
+        b_dot = jnp.sum(bc * dcf) + jnp.sum(bp * dpf)
+        pred = 0.5 * (lam * d_sq - b_dot)
+        step_inf = jnp.max(jnp.abs(dcf))
+        accept, converged, lam, nu = _lm_gain_update(
+            cost, new_cost, lam, nu, pred, step_inf, step_cap, ftol)
         poses = jnp.where(accept, new_poses, poses)
         points = jnp.where(accept, new_points, points)
         cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-        lam = jnp.clip(lam, 1e-9, 1e6)
         # a rejected step with huge lambda means we are stuck
-        stuck = ~accept & (lam >= 1e6)
-        return poses, points, lam, cost, it + 1, converged | stuck | done_grad
+        stuck = ~accept & (lam >= 1e8)
+        return (poses, points, lam, nu, cost, it + 1,
+                converged | stuck | done_grad)
 
     init_cost = cost_of(prob.poses, prob.points)
-    poses, points, lam, cost, iters, _ = lax.while_loop(
+    dtype = prob.poses.dtype
+    poses, points, lam, nu, cost, iters, _ = lax.while_loop(
         cond, body,
-        (prob.poses, prob.points, jnp.asarray(lam0, prob.poses.dtype),
-         init_cost, jnp.asarray(0, jnp.int32), jnp.asarray(False)),
+        (prob.poses, prob.points, jnp.asarray(lam0, dtype),
+         jnp.asarray(2.0, dtype), init_cost, jnp.asarray(0, jnp.int32),
+         jnp.asarray(False)),
     )
     stats = {"initial_cost": init_cost, "final_cost": cost, "lambda": lam,
              "iterations": iters}
@@ -420,20 +459,21 @@ def solve_ba_schur_intrinsics(
 
     ftol = 1e-6
     gtol = 0.05
+    step_cap = 10.0
 
     def cond(carry):
         return (carry[-2] < max_iters) & ~carry[-1]
 
     def body(carry):
-        poses, points, intr2, lam, cost, it, done = carry
+        poses, points, intr2, lam, nu, cost, it, done = carry
         (Hcc, Hpp, U, bc, bp, _, Hii, bi, Hci, Upi) = _normal_equations_intr(
             cam_name, prob, poses, points, intr2, huber)
         free_c = (~prob.pose_fixed)[:, None].astype(bc.dtype)
+        free_p = prob.point_valid[:, None].astype(bp.dtype)
         g_inf = jnp.maximum(
             jnp.maximum(
                 jnp.max(jnp.abs(bc) * free_c),
-                jnp.max(jnp.abs(bp)
-                        * prob.point_valid[:, None].astype(bp.dtype))),
+                jnp.max(jnp.abs(bp) * free_p)),
             jnp.max(jnp.abs(bi)))
         done_grad = g_inf <= gtol * (1.0 + cost)
         dc, dp, di = _schur_solve_intr(
@@ -444,22 +484,28 @@ def solve_ba_schur_intrinsics(
         new_points = points + dp
         new_intr = intr2 + di
         new_cost = cost_of(new_poses, new_points, new_intr)
-        accept = new_cost < cost
-        converged = accept & ((cost - new_cost) <= ftol * jnp.abs(cost))
+        dcf = dc * free_c
+        dpf = dp * free_p
+        d_sq = jnp.sum(dcf * dcf) + jnp.sum(dpf * dpf) + jnp.sum(di * di)
+        b_dot = jnp.sum(bc * dcf) + jnp.sum(bp * dpf) + jnp.sum(bi * di)
+        pred = 0.5 * (lam * d_sq - b_dot)
+        step_inf = jnp.max(jnp.abs(dcf))
+        accept, converged, lam, nu = _lm_gain_update(
+            cost, new_cost, lam, nu, pred, step_inf, step_cap, ftol)
         poses = jnp.where(accept, new_poses, poses)
         points = jnp.where(accept, new_points, points)
         intr2 = jnp.where(accept, new_intr, intr2)
         cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
-        stuck = ~accept & (lam >= 1e6)
-        return (poses, points, intr2, lam, cost, it + 1,
+        stuck = ~accept & (lam >= 1e8)
+        return (poses, points, intr2, lam, nu, cost, it + 1,
                 converged | stuck | done_grad)
 
     init_cost = cost_of(prob.poses, prob.points, intr2_0)
-    poses, points, intr2, lam, cost, iters, _ = lax.while_loop(
+    dtype = prob.poses.dtype
+    poses, points, intr2, lam, nu, cost, iters, _ = lax.while_loop(
         cond, body,
         (prob.poses, prob.points, intr2_0,
-         jnp.asarray(lam0, prob.poses.dtype), init_cost,
+         jnp.asarray(lam0, dtype), jnp.asarray(2.0, dtype), init_cost,
          jnp.asarray(0, jnp.int32), jnp.asarray(False)))
     stats = {"initial_cost": init_cost, "final_cost": cost, "lambda": lam,
              "iterations": iters}

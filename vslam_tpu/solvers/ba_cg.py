@@ -72,12 +72,14 @@ def solve_ba_cg(
     ftol = 1e-6
     gtol = 0.05  # relative gradient tolerance (same scale as solvers/ba.py)
 
+    step_cap = 10.0
+
     def cond(carry):
-        _, _, _, _, it, done = carry
+        it, done = carry[-2], carry[-1]
         return (it < max_iters) & ~done
 
     def step(carry):
-        poses, points, lam, cost, it, done = carry
+        poses, points, lam, nu, cost, it, done = carry
         p0 = BAProblem(poses=poses, points=points, **{
             f: getattr(prob, f) for f in prob._fields
             if f not in ("poses", "points")})
@@ -134,20 +136,28 @@ def solve_ba_cg(
             _residual_fn(cam_name, p0._replace(poses=new_poses,
                                                points=new_points))(*zero),
             prob.obs_valid, huber)
-        accept = new_cost < cost
-        converged = accept & ((cost - new_cost) <= ftol * jnp.abs(cost))
+        # gain-ratio LM control (see solvers/ba.py _lm_gain_update: the
+        # naive accept rule let Huber-saturated steps exile weak cameras)
+        from .ba import _lm_gain_update
+
+        d_sq = dot((dc, dp), (dc, dp))
+        b_dot = dot(g, (dc, dp))
+        pred = 0.5 * (lam * d_sq - b_dot)
+        step_inf = jnp.max(jnp.abs(dc))
+        accept, converged, lam, nu = _lm_gain_update(
+            cost, new_cost, lam, nu, pred, step_inf, step_cap, ftol)
         poses = jnp.where(accept, new_poses, poses)
         points = jnp.where(accept, new_points, points)
         cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e8)
         stuck = ~accept & (lam >= 1e8)
-        return (poses, points, lam, cost, it + 1,
+        return (poses, points, lam, nu, cost, it + 1,
                 converged | stuck | done_grad)
 
     init_cost = cost_of(*zero)
-    poses, points, lam, cost, iters, _ = lax.while_loop(
+    poses, points, lam, nu, cost, iters, _ = lax.while_loop(
         cond, step,
-        (prob.poses, prob.points, jnp.asarray(lam0, dtype), init_cost,
+        (prob.poses, prob.points, jnp.asarray(lam0, dtype),
+         jnp.asarray(2.0, dtype), init_cost,
          jnp.asarray(0, jnp.int32), jnp.asarray(False)))
     return poses, points, {"initial_cost": init_cost, "final_cost": cost,
                            "iterations": iters}
