@@ -92,6 +92,14 @@ class SlamConfig:
     # chip); on a multi-chip topology the solve then genuinely overlaps
     # tracking instead of sharing the tracking chip's queue
     ba_device: "int | None" = None
+    # lockstep multi-sequence batching: pending keyframe requests latch on
+    # device and the (vmapped, all-sequence) keyframe branch fires only on
+    # frames divisible by this period, batching inserts together — with S
+    # staggered sequences some sequence wants a keyframe almost every
+    # frame, and paying the 8x-BA branch each time dominates. Keyframes
+    # are delayed by at most period-1 frames (the reference's pending-BA
+    # gate delays them similarly, slam.cpp:1374-1377). 1 = immediate.
+    multiseq_kf_period: int = 4
 
     # --- BoW / place recognition ---
     vocab_branching: int = 10              # DBoW2 k

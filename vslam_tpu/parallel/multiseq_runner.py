@@ -89,6 +89,13 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
         pose = jnp.where(ok[:, None], res.T_w_c, state.pose)
         K = state.kf.frame_id.shape[1]
 
+        # batching gate: fire the (all-sequence) keyframe branch only on
+        # period boundaries; pending requests stay latched in take_kf
+        period = max(int(cfg.multiseq_kf_period), 1)
+        due = (state.frame % period) == 0
+        fire = due & jnp.any(state.take_kf)
+        inserted = state.take_kf & fire
+
         def kf_branch(op):
             kf, lm = op
             feats_r = jax.vmap(extract1)(imgs_r)
@@ -108,7 +115,7 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
 
             out = jax.vmap(insert1)(
                 kf, lm, state.last_kf_slot, pose, res.feats, feats_r,
-                sj, sinl, res.match_lm, res.inlier, state.take_kf)
+                sj, sinl, res.match_lm, res.inlier, inserted)
 
             def evict1(kf1, lm1):
                 act = kf1.valid & kf1.active
@@ -150,7 +157,7 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             in_cap = out.slot < K
             slot_c = jnp.minimum(out.slot, K - 1)
             pose_kf = jax.vmap(lambda kf1, s: kf1.pose_l[s])(kf3, slot_c)
-            took = state.take_kf & in_cap
+            took = inserted & in_cap
             pose2 = jnp.where(took[:, None], pose_kf, pose)
             slot2 = jnp.where(took, out.slot,
                               state.last_kf_slot).astype(jnp.int32)
@@ -161,8 +168,7 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             return kf, lm, pose, state.last_kf_slot
 
         kf2, lm2, pose2, last_slot = lax.cond(
-            jnp.any(state.take_kf), kf_branch, tr_branch,
-            (state.kf, state.lm))
+            fire, kf_branch, tr_branch, (state.kf, state.lm))
 
         vel = jax.vmap(lambda a, b: lie.se3_mul(lie.se3_inv(a), b))(
             state.last_pose, pose2)
@@ -173,7 +179,10 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
                 lambda v: lie.se3_exp(cfg.vel_decay_factor * lie.se3_log(v))
             )(vel)
             vel = jnp.where(weak[:, None], decayed, vel)
-        take_next = ~state.take_kf & (n_inl < cfg.new_kf_min_inliers)
+        # pending requests stay latched until their period boundary fires;
+        # sequences that just inserted reset; low-inlier frames latch new
+        take_next = (state.take_kf
+                     | (n_inl < cfg.new_kf_min_inliers)) & ~inserted
 
         f = state.frame
         return state._replace(
@@ -181,7 +190,7 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             take_kf=take_next, last_kf_slot=last_slot, frame=f + 1, key=key,
             traj=state.traj.at[:, f].set(pose2, mode="drop"),
             log_inliers=state.log_inliers.at[:, f].set(n_inl, mode="drop"),
-            log_kf=state.log_kf.at[:, f].set(state.take_kf, mode="drop"),
+            log_kf=state.log_kf.at[:, f].set(inserted, mode="drop"),
         )
 
     return jax.jit(step, donate_argnums=(0,))
