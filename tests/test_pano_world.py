@@ -88,6 +88,13 @@ def test_organic_loop_closure():
         enable_relocalization=True, enable_loop_closure=True,
         new_kf_min_inliers=60, loop_closing_time_threshold=20,
         quality_level=0.001, motion_threshold=1.5, match_max_dist_2d=30.0,
+        # reference-parity semantics for this test: the reference applies
+        # any accepted compute_sim3 correction; the identity-gain gate
+        # (framework extra) would correctly reject noise corrections on
+        # this well-tracked map and the closure machinery would never
+        # execute. The gate's behavior is pinned by
+        # tests/test_streaming_slam.py.
+        loop_verify_min_gain=0.0,
     )
     slam = SlamSystem(seq.calib, cfg)
     slam.set_vocabulary(voc)

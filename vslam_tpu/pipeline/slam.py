@@ -270,6 +270,10 @@ class SlamSystem:
             essential_threshold=cfg.num_ess_threshold)
         self.last_loop_candidates = list(candidates)
         n_closed = 0
+        if self.loop_edges and self.frame - getattr(
+                self, "_last_closure_frame", -(10 ** 9)) \
+                < cfg.loop_cooldown_frames:
+            return 0  # cooldown: the same revisit keeps re-detecting
         fid = np.asarray(self.kf.frame_id)
         for cand in candidates:
             if fid[slot] - fid[cand] <= cfg.loop_closing_time_threshold:
@@ -288,15 +292,30 @@ class SlamSystem:
             if not ok:
                 continue
             if cfg.enable_loop_verification:
+                nbrs = sorted(self.covis.get(cand, {}))
                 n_inl, n_vis = closure_mod.verify_loop(
-                    self.kf, self.lm, slot, cand,
-                    sorted(self.covis.get(cand, {})), sim3,
+                    self.kf, self.lm, slot, cand, nbrs, sim3,
                     self.intr0, self.cam_name, self.width, self.height,
                     px_gate=cfg.loop_verify_px,
                     threshold=cfg.match_max_dist,
                     ratio=cfg.match_next_best)
-                if (n_inl < cfg.loop_verify_min_inliers
-                        or n_inl < cfg.loop_verify_min_ratio * max(n_vis, 1)):
+                ok_v = (n_inl >= cfg.loop_verify_min_inliers
+                        and n_inl >= cfg.loop_verify_min_ratio
+                        * max(n_vis, 1))
+                if ok_v and cfg.loop_verify_min_gain > 0:
+                    # identity-gain gate: the correction must explain the
+                    # old structure better than the CURRENT poses do
+                    sim3_id = lie.se3_mul(
+                        lie.se3_inv(self.kf.pose_l[cand]),
+                        self.kf.pose_l[slot])
+                    n_id, _ = closure_mod.verify_loop(
+                        self.kf, self.lm, slot, cand, nbrs, sim3_id,
+                        self.intr0, self.cam_name, self.width, self.height,
+                        px_gate=cfg.loop_verify_px,
+                        threshold=cfg.match_max_dist,
+                        ratio=cfg.match_next_best)
+                    ok_v = n_inl >= cfg.loop_verify_min_gain * max(n_id, 1)
+                if not ok_v:
                     self.stats_rejected_loops = getattr(
                         self, "stats_rejected_loops", [])
                     self.stats_rejected_loops.append(
@@ -305,6 +324,7 @@ class SlamSystem:
             if not cfg.use_sim3:
                 sim3 = lie.identity_pose()
             self.loop_edges.append((slot, cand))
+            self._last_closure_frame = self.frame
             self.kf, self.lm, _ = closure_mod.loop_closure(
                 self.kf, self.lm, slot, cand, sim3, self.covis, self.T_0_1,
                 essential_threshold=cfg.num_ess_threshold,

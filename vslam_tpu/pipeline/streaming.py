@@ -397,6 +397,7 @@ class StreamingSLAM(StreamingVO):
         self.frame_of_slot: dict = {}
         self.loop_edges: list = []
         self._polled_to = 0
+        self._last_closure_frame = -(10 ** 9)
         self._host_key = jax.random.PRNGKey(self.cfg.seed + 1)
 
     def _next_key(self):
@@ -466,6 +467,9 @@ class StreamingSLAM(StreamingVO):
         candidates = self.detector.detect(
             slot, bow, edges, self._graph_sets(), 2 * cfg.num_cov_threshold,
             essential_threshold=cfg.num_ess_threshold)
+        if self.loop_edges and frame_idx - self._last_closure_frame \
+                < cfg.loop_cooldown_frames:
+            return  # cooldown: the same revisit keeps re-detecting
         for cand in candidates:
             gap = frame_idx - self.frame_of_slot.get(cand, frame_idx)
             if gap <= cfg.loop_closing_time_threshold:
@@ -478,9 +482,9 @@ class StreamingSLAM(StreamingVO):
             if not ok:
                 continue
             if cfg.enable_loop_verification:
+                nbrs = sorted(self.covis_host.get(cand, {}))
                 n_inl, n_vis = closure_mod.verify_loop(
-                    self.state.kf, self.state.lm, slot, cand,
-                    sorted(self.covis_host.get(cand, {})), sim3,
+                    self.state.kf, self.state.lm, slot, cand, nbrs, sim3,
                     self.state.intr0, self.cam_name,
                     self.calib.width, self.calib.height,
                     px_gate=cfg.loop_verify_px,
@@ -490,6 +494,22 @@ class StreamingSLAM(StreamingVO):
                         or n_inl < cfg.loop_verify_min_ratio
                         * max(n_vis, 1)):
                     continue
+                if cfg.loop_verify_min_gain > 0:
+                    # identity-gain gate (see config): reject corrections
+                    # that do not beat the current poses at explaining the
+                    # candidate-side structure
+                    sim3_id = lie.se3_mul(
+                        lie.se3_inv(self.state.kf.pose_l[cand]),
+                        self.state.kf.pose_l[slot])
+                    n_id, _ = closure_mod.verify_loop(
+                        self.state.kf, self.state.lm, slot, cand, nbrs,
+                        sim3_id, self.state.intr0, self.cam_name,
+                        self.calib.width, self.calib.height,
+                        px_gate=cfg.loop_verify_px,
+                        threshold=cfg.match_max_dist,
+                        ratio=cfg.match_next_best)
+                    if n_inl < cfg.loop_verify_min_gain * max(n_id, 1):
+                        continue
             if not cfg.use_sim3:
                 sim3 = lie.identity_pose()
             # late application: the stream has tracked past `slot` by up to
@@ -506,6 +526,7 @@ class StreamingSLAM(StreamingVO):
                 huber=1.0, max_iters=20)
             self.state = self.state._replace(kf=kf2, lm=lm2)
             self.loop_edges.append((slot, cand))
+            self._last_closure_frame = frame_idx
             if cfg.enable_gba_after_loop:
                 from . import ba_global
 

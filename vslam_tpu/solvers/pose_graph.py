@@ -107,7 +107,7 @@ def solve_pose_graph(prob: PoseGraphProblem, huber: float = 1.0,
         return (carry[-2] < max_iters) & ~carry[-1]
 
     def step(carry):
-        poses, lam, cost, it, done = carry
+        poses, lam, nu, cost, it, done = carry
         H, g = build_system(poses)
         g_inf = jnp.max(jnp.abs(jnp.where(free, g, 0.0)))
         done_grad = g_inf <= gtol * (1.0 + cost)
@@ -115,21 +115,29 @@ def solve_pose_graph(prob: PoseGraphProblem, huber: float = 1.0,
         H = jnp.where(free[:, None] & free[None, :], H, 0.0)
         H = H + jnp.diag(jnp.where(free, 0.0, 1.0))
         rhs = jnp.where(free, -g, 0.0)
-        delta = jnp.nan_to_num(jnp.linalg.solve(H, rhs)).reshape(K, 6)
+        delta_f = jnp.nan_to_num(jnp.linalg.solve(H, rhs))
+        delta = delta_f.reshape(K, 6)
         new_poses = jax.vmap(lie.se3_retract)(poses, delta)
         new_poses = jnp.where(prob.fixed[:, None], poses, new_poses)
         new_cost = _robust_cost(new_poses, prob, huber)
-        accept = new_cost < cost
-        converged = accept & ((cost - new_cost) <= ftol * jnp.abs(cost))
+        # gain-ratio damping control (see solvers/ba.py _lm_gain_update)
+        from .ba import _lm_gain_update
+
+        pred = 0.5 * (lam * jnp.sum(delta_f * delta_f)
+                      - jnp.sum(jnp.where(free, g, 0.0) * delta_f))
+        step_inf = jnp.max(jnp.abs(delta_f))
+        accept, converged, lam, nu = _lm_gain_update(
+            cost, new_cost, lam, nu, pred, step_inf,
+            step_cap=50.0, ftol=ftol)
         poses = jnp.where(accept, new_poses, poses)
         cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-12, 1e6)
-        stuck = ~accept & (lam >= 1e6)
-        return poses, lam, cost, it + 1, converged | stuck | done_grad
+        stuck = ~accept & (lam >= 1e8)
+        return poses, lam, nu, cost, it + 1, converged | stuck | done_grad
 
     init_cost = _robust_cost(prob.poses, prob, huber)
-    poses, lam, cost, iters, _ = lax.while_loop(
-        cond, step, (prob.poses, jnp.asarray(lam0, dtype), init_cost,
+    poses, lam, nu, cost, iters, _ = lax.while_loop(
+        cond, step, (prob.poses, jnp.asarray(lam0, dtype),
+                     jnp.asarray(2.0, dtype), init_cost,
                      jnp.asarray(0, jnp.int32), jnp.asarray(False)))
     return poses, {"initial_cost": init_cost, "final_cost": cost,
                    "iterations": iters}

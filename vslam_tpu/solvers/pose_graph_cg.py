@@ -29,7 +29,7 @@ def solve_pose_graph_cg(prob: PoseGraphProblem, huber: float = 1.0,
     free = (~prob.fixed)[:, None].astype(dtype)
 
     def step(carry, _):
-        poses, lam, cost = carry
+        poses, lam, nu, cost = carry
 
         def edge_r(i, j, meas):
             return _edge_residual(poses[i], poses[j], meas)
@@ -77,15 +77,22 @@ def solve_pose_graph_cg(prob: PoseGraphProblem, huber: float = 1.0,
         new_poses = jax.vmap(lie.se3_retract)(poses, delta)
         new_poses = jnp.where(prob.fixed[:, None], poses, new_poses)
         new_cost = _robust_cost(new_poses, prob, huber)
-        accept = new_cost < cost
+        # gain-ratio damping control (see solvers/ba.py _lm_gain_update)
+        from .ba import _lm_gain_update
+
+        pred = 0.5 * (lam * jnp.vdot(delta, delta) - jnp.vdot(g * free,
+                                                              delta))
+        accept, _, lam, nu = _lm_gain_update(
+            cost, new_cost, lam, nu, pred, jnp.max(jnp.abs(delta)),
+            step_cap=50.0, ftol=1e-8)
         poses = jnp.where(accept, new_poses, poses)
         cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-12, 1e6)
-        return (poses, lam, cost), new_cost
+        return (poses, lam, nu, cost), new_cost
 
     init_cost = _robust_cost(prob.poses, prob, huber)
-    (poses, lam, cost), hist = lax.scan(
-        step, (prob.poses, jnp.asarray(lam0, dtype), init_cost), None,
+    (poses, lam, nu, cost), hist = lax.scan(
+        step, (prob.poses, jnp.asarray(lam0, dtype),
+               jnp.asarray(2.0, dtype), init_cost), None,
         length=max_iters)
     return poses, {"initial_cost": init_cost, "final_cost": cost,
                    "history": hist}
