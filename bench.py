@@ -258,8 +258,10 @@ def main():
     out = {
         "metric": "euroc_vo_fps",
         "value": round(fps, 2),
-        "unit": f"frames/sec (752x480 stereo, 1500 feats, windowed BA; "
-                f"{src}; streaming driver)",
+        "unit": (f"frames/sec (752x480 stereo, 1500 feats, windowed BA; "
+                 f"{src}; "
+                 f"{'faithful' if use_slam_driver else 'streaming'} "
+                 "driver)"),
         "vs_baseline": round(fps / TARGET_FPS, 3),
         "frames": n,
         "keyframes": kfs,
