@@ -96,16 +96,19 @@ def bench_single(frames, calib, use_slam_driver: bool):
         stats = slam.stats[WARMUP_FRAMES:]
         kfs = sum(1 for s in stats if s["kind"] == "keyframe")
         tracked = sum(1 for s in stats if s.get("ok"))
-        return n / elapsed, n, kfs, tracked, None
+        return n / elapsed, n, kfs, tracked, None, [n / elapsed]
 
     from vslam_tpu.pipeline.streaming import StreamingVO
 
     import jax
 
-    # the tunneled device shows +/-30% run-to-run interference; take the
-    # best of REPEATS fresh runs (compiles are shared via the jit cache)
-    REPEATS = 3 if os.environ.get("JAX_PLATFORMS") != "cpu" else 1
-    best = None
+    # the tunneled device shows +/-30% run-to-run interference; run
+    # REPEATS fresh runs (compiles are shared via the jit cache) and
+    # report the MEDIAN as the headline, with every run recorded so the
+    # artifact carries the dispersion
+    REPEATS = 5 if os.environ.get("JAX_PLATFORMS") != "cpu" else 1
+    n = len(frames) - WARMUP_FRAMES
+    runs = []
     for _ in range(REPEATS):
         vo = StreamingVO(calib, cfg, max_frames=len(frames) + 8)
         # warmup: compile both branches (the first frames include keyframes
@@ -115,12 +118,9 @@ def bench_single(frames, calib, use_slam_driver: bool):
         t0 = time.perf_counter()
         vo.run(frames[WARMUP_FRAMES:], sync_every=256)
         jax.block_until_ready(vo.state.frame)
-        elapsed = time.perf_counter() - t0
-        if best is None or elapsed < best[0]:
-            best = (elapsed, vo)
-    elapsed, vo = best
+        runs.append(n / (time.perf_counter() - t0))
+    runs.sort()
     res = vo.results()
-    n = len(frames) - WARMUP_FRAMES
     kfs = int(res["is_keyframe"][WARMUP_FRAMES:].sum())
     tracked = int(res["tracked_ok"][WARMUP_FRAMES:].sum())
 
@@ -143,38 +143,114 @@ def bench_single(frames, calib, use_slam_driver: bool):
         jax.block_until_ready(one_ba())
         times.append((time.perf_counter() - tb) * 1e3)
     ba_ms = sorted(times)[len(times) // 2]
-    return n / elapsed, n, kfs, tracked, ba_ms
+    return runs[len(runs) // 2], n, kfs, tracked, ba_ms, runs
 
 
-def bench_full_slam(frames, calib):
-    """Full-SLAM throughput: streaming driver with place recognition on
-    (BoW tree descent per keyframe + host event polling + loop detector).
-    Vocabulary: synthetic 100k-word tree (k=10 L=5) — the descent cost is
-    identical to a trained one."""
+def bench_full_slam(num_frames: int = 256):
+    """Full-SLAM throughput on a workload where closures actually FIRE:
+    the cylindrical-pano revisit world (1.75 revolutions, 752x480) with
+    the reference's full default configuration — loop closure + GBA after
+    loop + relocalization all enabled (slam.cpp:244-247). The reported
+    fps therefore includes BoW descent per keyframe, detector polling,
+    compute_sim3 + verification, the essential-graph closure solve, the
+    async global BA, and the reloc loss-watch. Vocabulary is trained on
+    the workload's own imagery (the reference equally uses a vocabulary
+    trained on real imagery, ORBvoc).
+
+    Returns a dict: median fps, every run's fps, loops closed, GBA merges.
+    """
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from vslam_tpu.config import SlamConfig
+    from vslam_tpu.frontend.features import extract_features
     from vslam_tpu.loop import vocabulary as vocab_mod
     from vslam_tpu.pipeline.streaming import StreamingSLAM
+    from vslam_tpu.synthetic_pano import generate_pano_loop
 
-    voc = vocab_mod.synthetic_vocab(k=10, depth=5, seed=0)
+    seq = generate_pano_loop(num_frames=num_frames, width=752, height=480,
+                             revolutions=1.75, seed=2)
     cfg = SlamConfig(
-        enable_relocalization=False, enable_loop_closure=True,
-        enable_gba_after_loop=False,
+        enable_relocalization=True, enable_loop_closure=True,
+        enable_gba_after_loop=True,
+        loop_closing_time_threshold=20, quality_level=0.001,
+        match_max_dist_2d=30.0,
         max_landmarks=65536, max_keyframes=1024,
     )
-    best = None
-    for _ in range(2):
-        slam = StreamingSLAM(calib, cfg, voc, max_frames=len(frames) + 8,
-                             poll_every=16)
-        slam.run(frames[:WARMUP_FRAMES])
+    pool = []
+    for f in range(0, num_frames, max(1, num_frames // 24)):
+        ft = extract_features(jnp.asarray(seq.images[f][0]),
+                              num_features=cfg.num_features,
+                              quality_level=cfg.quality_level)
+        pool.append(np.asarray(ft.bits)[np.asarray(ft.valid)])
+    voc = vocab_mod.train(np.concatenate(pool), k=10, depth=4, seed=0)
+    vocab_mod.set_idf_weights(voc, pool)
+
+    runs, last = [], None
+    n = num_frames - WARMUP_FRAMES
+    for _ in range(3):
+        slam = StreamingSLAM(seq.calib, cfg, voc,
+                             max_frames=num_frames + 8, poll_every=16)
+        slam.run(seq.images[:WARMUP_FRAMES])
         jax.block_until_ready(slam.state.frame)
         t0 = time.perf_counter()
-        slam.run(frames[WARMUP_FRAMES:])
+        slam.run(seq.images[WARMUP_FRAMES:])
+        slam._merge_gba_if_ready(force=slam._pending_gba is not None)
         jax.block_until_ready(slam.state.frame)
-        elapsed = time.perf_counter() - t0
-        best = elapsed if best is None else min(best, elapsed)
-    return (len(frames) - WARMUP_FRAMES) / best
+        runs.append(n / (time.perf_counter() - t0))
+        last = slam
+    runs.sort()
+    return {
+        "full_slam_fps": round(runs[len(runs) // 2], 2),
+        "full_slam_runs": [round(r, 2) for r in runs],
+        "full_slam_loops_closed": len(last.loop_edges),
+        "full_slam_gba_merges": last.gba_merges,
+        "full_slam_config": ("streaming driver, pano revisit world "
+                             "(752x480, 1.75 rev), loop closure + GBA "
+                             "after loop + relocalization ON, 10k-word "
+                             "trained BoW, poll_every=16"),
+    }
+
+
+def bench_sample(max_frames: int = 126):
+    """Real-image throughput: the reference's bundled EuRoC V1 JPEGs
+    through the streaming driver, native JPEG decode included. The frames
+    are 7-second-apart snapshots, which forces an unrepresentatively high
+    keyframe rate (~46%) — reported as its own line, not the headline."""
+    import jax
+
+    if not (os.path.isdir(SAMPLE_DIR) and os.path.exists(CALIB)):
+        return None
+    frames, calib, src = load_workload(True, max_frames)
+    from vslam_tpu.config import SlamConfig
+    from vslam_tpu.pipeline.streaming import StreamingVO
+
+    cfg = SlamConfig(
+        enable_relocalization=False, enable_loop_closure=False,
+        max_landmarks=65536, max_keyframes=1024,
+    )
+    n = len(frames) - WARMUP_FRAMES
+    runs = []
+    kfs = 0
+    for _ in range(2):
+        vo = StreamingVO(calib, cfg, max_frames=len(frames) + 8)
+        vo.run(frames[:WARMUP_FRAMES], sync_every=0)
+        jax.block_until_ready(vo.state.frame)
+        t0 = time.perf_counter()
+        vo.run(frames[WARMUP_FRAMES:], sync_every=256)
+        jax.block_until_ready(vo.state.frame)
+        runs.append(n / (time.perf_counter() - t0))
+        kfs = int(vo.results()["is_keyframe"][WARMUP_FRAMES:].sum())
+    runs.sort()
+    return {
+        "sample_fps": round(runs[len(runs) // 2], 2),
+        "sample_runs": [round(r, 2) for r in runs],
+        "sample_frames": n,
+        "sample_keyframes": kfs,
+        "sample_config": ("reference-bundled EuRoC V1 JPEGs, native "
+                          "decode, 7s frame gaps (46% KF rate)"),
+    }
 
 
 def bench_multiseq(num_seq: int = 8, num_frames: int = 30):
@@ -238,14 +314,15 @@ def main():
     num_frames = WARMUP_FRAMES + (24 if on_cpu else 120)
     frames, calib, src = load_workload(use_sample, num_frames)
 
-    fps, n, kfs, tracked, ba_ms = bench_single(frames, calib,
-                                               use_slam_driver)
+    fps, n, kfs, tracked, ba_ms, vo_runs = bench_single(frames, calib,
+                                                        use_slam_driver)
 
     multiseq_fps = None
-    slam_fps = None
+    slam_out = None
+    sample_out = None
     if not on_cpu and not use_sample:
         try:
-            slam_fps = bench_full_slam(frames, calib)
+            slam_out = bench_full_slam()
         except Exception as e:  # secondary metric must not kill the bench
             print(json.dumps({"warning": f"full-slam bench failed: {e}"}),
                   file=sys.stderr)
@@ -254,6 +331,11 @@ def main():
         except Exception as e:
             print(json.dumps({"warning": f"multiseq bench failed: {e}"}),
                   file=sys.stderr)
+        try:
+            sample_out = bench_sample()
+        except Exception as e:
+            print(json.dumps({"warning": f"sample bench failed: {e}"}),
+                  file=sys.stderr)
 
     out = {
         "metric": "euroc_vo_fps",
@@ -261,21 +343,22 @@ def main():
         "unit": (f"frames/sec (752x480 stereo, 1500 feats, windowed BA; "
                  f"{src}; "
                  f"{'faithful' if use_slam_driver else 'streaming'} "
-                 "driver)"),
+                 "driver; median of runs)"),
         "vs_baseline": round(fps / TARGET_FPS, 3),
         "frames": n,
         "keyframes": kfs,
         "tracked_ok": tracked,
+        "vo_runs": [round(r, 2) for r in vo_runs],
     }
     if ba_ms is not None:
         out["window_ba_ms"] = round(ba_ms, 1)
-    if slam_fps is not None:
-        out["full_slam_fps"] = round(slam_fps, 2)
-        out["full_slam_config"] = ("streaming driver + place recognition "
-                                   "(100k-word BoW, loop detector polling)")
+    if slam_out is not None:
+        out.update(slam_out)
     if multiseq_fps is not None:
         out["multiseq_seq_frames_per_sec"] = round(multiseq_fps, 2)
         out["multiseq_config"] = "8 sequences lockstep, 752x480, one chip"
+    if sample_out is not None:
+        out.update(sample_out)
     print(json.dumps(out))
 
 

@@ -106,6 +106,14 @@ class SlamConfig:
     vocab_depth: int = 4                   # DBoW2 L (ORBvoc uses 6)
     bow_levels_up: int = 4                 # transform(..., levelsup=4)
     reloc_max_candidates: int = 5          # tracking.h:214-217
+    # streaming relocalization (the reference runs reloc inside its hot
+    # loop, tracking.h:241-419, wired at slam.cpp:1348-1367; the streaming
+    # driver reacts at poll granularity instead): attempt recovery once the
+    # newest reloc_lost_frames frames all failed tracking, provided the
+    # current frame still has at least reloc_min_features valid features
+    # (a sensor blackout yields none — nothing to relocalize against).
+    reloc_lost_frames: int = 2
+    reloc_min_features: int = 30
     # geometric loop verification (framework extra — the reference's
     # landmark-fusion verification is an empty stub,
     # loop_closure_utils.h:424-428, and perceptually-aliased candidates

@@ -13,9 +13,17 @@ step with no per-frame host round trips:
   keyframe work entirely on frames where no sequence needs it (a cond
   under vmap would degenerate to executing both branches);
 - inside the keyframe branch every sequence runs the (enabled-masked)
-  insert + eviction + windowed BA; sequences whose window didn't change
-  converge in one LM iteration, so the vmapped while_loop costs what the
-  real keyframes cost;
+  insert + eviction + culling — but NOT the windowed BA;
+- the windowed BA is DECOUPLED from the lockstep: inserting a keyframe
+  latches a per-sequence ``ba_pending`` flag, and each frame solves the
+  BA for at most ONE pending sequence (round-robin), gathered out of the
+  batch, solved at single-sequence cost, and scattered back. With S
+  staggered sequences the old design paid the vmapped S-fold BA whenever
+  *any* sequence keyframed — nearly every period — which is exactly the
+  S-times-BA bill this scheduler amortizes to one BA per frame. Sequences
+  with a BA in flight don't take new keyframes (the reference's
+  !opt_running gate, slam.cpp:1374-1377 — its background optimize()
+  thread is the same decoupling, one sequence at a time);
 - poses/stats land in device ring buffers, fetched on access.
 
 With a mesh, all [S, ...] state is sharded over the 'data' axis (pure
@@ -50,6 +58,8 @@ class MultiSeqState(NamedTuple):
     vel: jnp.ndarray          # [S, 7]
     take_kf: jnp.ndarray      # [S] bool
     last_kf_slot: jnp.ndarray  # [S] int32
+    ba_pending: jnp.ndarray   # [S] bool — keyframed, window BA not yet run
+    ba_cursor: jnp.ndarray    # [] int32 round-robin fairness cursor
     frame: jnp.ndarray        # [] int32
     key: jnp.ndarray
     intr0: jnp.ndarray        # [8]
@@ -90,11 +100,14 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
         K = state.kf.frame_id.shape[1]
 
         # batching gate: fire the (all-sequence) keyframe branch only on
-        # period boundaries; pending requests stay latched in take_kf
+        # period boundaries; pending requests stay latched in take_kf.
+        # A sequence whose windowed BA hasn't run yet may not take another
+        # keyframe (!opt_running gate, slam.cpp:1374-1377).
         period = max(int(cfg.multiseq_kf_period), 1)
         due = (state.frame % period) == 0
-        fire = due & jnp.any(state.take_kf)
-        inserted = state.take_kf & fire
+        eligible = state.take_kf & ~state.ba_pending
+        fire = due & jnp.any(eligible)
+        inserted = eligible & fire
 
         def kf_branch(op):
             kf, lm = op
@@ -141,27 +154,11 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
 
                 kf2, lm2 = jax.vmap(cull1)(kf2, lm2)
 
-            def wba1(kf1, lm1):
-                wp = ba_window.build_window_problem(
-                    kf1, lm1, state.intr0, state.intr1,
-                    W2=cfg.window_cams // 2, Lw=cfg.window_points,
-                    O=cfg.window_obs)
-                poses, points, _ = ba.solve_ba_schur(
-                    wp.prob, cam_name=cam_name, huber=cfg.ba_huber_px,
-                    max_iters=cfg.ba_max_iters)
-                return ba_window.merge_window_result(kf1, lm1, wp, poses,
-                                                     points)
-
-            kf3, lm3 = jax.vmap(wba1)(kf2, lm2)
-
             in_cap = out.slot < K
-            slot_c = jnp.minimum(out.slot, K - 1)
-            pose_kf = jax.vmap(lambda kf1, s: kf1.pose_l[s])(kf3, slot_c)
             took = inserted & in_cap
-            pose2 = jnp.where(took[:, None], pose_kf, pose)
             slot2 = jnp.where(took, out.slot,
                               state.last_kf_slot).astype(jnp.int32)
-            return kf3, lm3, pose2, slot2
+            return kf2, lm2, pose, slot2
 
         def tr_branch(op):
             kf, lm = op
@@ -169,6 +166,34 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
 
         kf2, lm2, pose2, last_slot = lax.cond(
             fire, kf_branch, tr_branch, (state.kf, state.lm))
+
+        # --- decoupled windowed BA: at most ONE sequence per frame ---
+        ba_pending = state.ba_pending | inserted
+
+        def ba_branch(op):
+            kf_b, lm_b, pending, cursor = op
+            S_ids = jnp.arange(S)
+            # round-robin fairness: lowest (id - cursor) mod S among pending
+            prio = jnp.where(pending, (S_ids - cursor) % S, S + 1)
+            s = jnp.argmin(prio).astype(jnp.int32)
+            kf1 = jax.tree.map(lambda x: x[s], kf_b)
+            lm1 = jax.tree.map(lambda x: x[s], lm_b)
+            wp = ba_window.build_window_problem(
+                kf1, lm1, state.intr0, state.intr1,
+                W2=cfg.window_cams // 2, Lw=cfg.window_points,
+                O=cfg.window_obs)
+            poses, points, _ = ba.solve_ba_schur(
+                wp.prob, cam_name=cam_name, huber=cfg.ba_huber_px,
+                max_iters=cfg.ba_max_iters)
+            kf1b, lm1b = ba_window.merge_window_result(kf1, lm1, wp, poses,
+                                                       points)
+            kf_c = jax.tree.map(lambda X, x: X.at[s].set(x), kf_b, kf1b)
+            lm_c = jax.tree.map(lambda X, x: X.at[s].set(x), lm_b, lm1b)
+            return kf_c, lm_c, pending.at[s].set(False), s + 1
+
+        kf3, lm3, ba_pending2, cursor2 = lax.cond(
+            jnp.any(ba_pending), ba_branch, lambda op: op,
+            (kf2, lm2, ba_pending, state.ba_cursor))
 
         vel = jax.vmap(lambda a, b: lie.se3_mul(lie.se3_inv(a), b))(
             state.last_pose, pose2)
@@ -186,8 +211,9 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
 
         f = state.frame
         return state._replace(
-            kf=kf2, lm=lm2, pose=pose2, last_pose=pose2, vel=vel,
-            take_kf=take_next, last_kf_slot=last_slot, frame=f + 1, key=key,
+            kf=kf3, lm=lm3, pose=pose2, last_pose=pose2, vel=vel,
+            take_kf=take_next, last_kf_slot=last_slot,
+            ba_pending=ba_pending2, ba_cursor=cursor2, frame=f + 1, key=key,
             traj=state.traj.at[:, f].set(pose2, mode="drop"),
             log_inliers=state.log_inliers.at[:, f].set(n_inl, mode="drop"),
             log_kf=state.log_kf.at[:, f].set(inserted, mode="drop"),
@@ -238,6 +264,8 @@ class MultiSeqVO:
             vel=jnp.tile(lie.identity_pose(dt), (S, 1)),
             take_kf=jnp.ones((S,), bool),
             last_kf_slot=jnp.full((S,), -1, jnp.int32),
+            ba_pending=jnp.zeros((S,), bool),
+            ba_cursor=jnp.asarray(0, jnp.int32),
             frame=jnp.asarray(0, jnp.int32),
             key=jax.random.PRNGKey(cfg.seed),
             intr0=intr0, intr1=intr1,

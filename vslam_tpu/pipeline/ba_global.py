@@ -137,3 +137,104 @@ def run_global_ba(
         cg_iters=cg_iters)
     kf, lm = _merge(kf, lm, poses, points)
     return kf, lm, stats
+
+
+# ---------------------------------------------------------------------------
+# Asynchronous GBA: dispatch on a snapshot, keep tracking, skip-merge later
+# (the reference's global_ba_thread + modified-flag merge,
+# slam.cpp:1778-1788 and :1410-1447)
+# ---------------------------------------------------------------------------
+
+class PendingGBA(NamedTuple):
+    """An in-flight global BA: lazily-computed results + snapshot info.
+
+    ``poses``/``points`` are device arrays whose computation was dispatched
+    asynchronously; nothing blocks until the merge. The snapshot masks
+    record which slots were live/active at dispatch so the merge can skip
+    entries modified since (slam.cpp:1416-1447: cameras/landmarks with the
+    ``modified`` flag keep their newer value)."""
+    poses: jnp.ndarray        # [2*K2, 7]
+    points: jnp.ndarray       # [Lw, 3]
+    n_kf: jnp.ndarray         # [] int32 snapshot keyframe cursor
+    n_lm: jnp.ndarray         # [] int32 snapshot landmark cursor
+    snap_active_kf: jnp.ndarray  # [K] bool active (window) at dispatch
+    snap_active_lm: jnp.ndarray  # [L] bool
+
+    def ready(self) -> bool:
+        return self.poses.is_ready()
+
+
+def dispatch_global_ba(
+    kf: KeyframeState,
+    lm: LandmarkState,
+    intr0,
+    intr1,
+    cam_name: str = "ds",
+    huber: float = 1.0,
+    max_iters: int = 15,
+    cg_iters: int = 25,
+) -> PendingGBA:
+    """Enqueue a full global BA without blocking on its result.
+
+    The two ``int()`` reads sync only the allocation cursors (the caller is
+    already at a sync point when loop closure fires); the solve itself runs
+    asynchronously and the caller merges with ``merge_global_ba`` once
+    ``pending.ready()``."""
+    n_kf = int(kf.next_slot)
+    n_lm = int(lm.next_slot)
+    K2 = _pow2(n_kf)
+    Lw = _pow2(n_lm, lo=256)
+    M2 = int(lm.all_kf.shape[1])
+    O = _pow2(min(n_lm * 6, Lw * M2), lo=1024)
+    prob = _build(kf, lm, intr0, intr1, K2=K2, Lw=Lw, O=O)
+    poses, points, _stats = ba_cg.solve_ba_cg(
+        prob, cam_name=cam_name, huber=huber, max_iters=max_iters,
+        cg_iters=cg_iters)
+    # the active masks must be COPIES: the caller's streaming step donates
+    # the state buffers, and the merge reads these long after dispatch
+    return PendingGBA(
+        poses=poses, points=points,
+        n_kf=jnp.asarray(n_kf, jnp.int32), n_lm=jnp.asarray(n_lm, jnp.int32),
+        snap_active_kf=kf.active.copy(), snap_active_lm=lm.active.copy())
+
+
+@jax.jit
+def merge_global_ba(kf: KeyframeState, lm: LandmarkState,
+                    pending: PendingGBA):
+    """Skip-merge: apply GBA results to every snapshot entry NOT modified
+    since the dispatch.
+
+    "Modified" = active (windowed BA touches active entries every keyframe
+    step) at dispatch or at merge — the union covers entries that entered
+    and left the window in between, plus landmark slots recycled by
+    culling (they hold a different landmark now and are active). Entries
+    created after the snapshot fall outside the ``n_kf``/``n_lm`` bounds.
+    Anchor-relative landmark positions are refreshed for every valid
+    landmark so ``p_c`` stays consistent with whichever pose/position pair
+    survived (the reference recomputes p_c on merge, slam.cpp:1430-1440).
+    """
+    K = kf.pose_l.shape[0]
+    K2 = pending.poses.shape[0] // 2
+    pl = pending.poses.reshape(K2, 2, 7)
+    ids = jnp.arange(K2)
+    sel = jnp.clip(ids, 0, K - 1)
+    kf_mod = pending.snap_active_kf[sel] | kf.active[sel]
+    ok = (ids < pending.n_kf) & kf.valid[sel] & ~kf_mod
+    tgt = jnp.where(ok, ids, K)
+    kf = kf._replace(
+        pose_l=kf.pose_l.at[tgt].set(pl[:, 0], mode="drop"),
+        pose_r=kf.pose_r.at[tgt].set(pl[:, 1], mode="drop"),
+    )
+    L = lm.pos.shape[0]
+    Lw = pending.points.shape[0]
+    lids = jnp.arange(Lw)
+    lsel = jnp.clip(lids, 0, L - 1)
+    lm_mod = pending.snap_active_lm[lsel] | lm.active[lsel]
+    lok = (lids < pending.n_lm) & lm.valid[lsel] & ~lm_mod
+    ltgt = jnp.where(lok, lids, L)
+    lm = lm._replace(pos=lm.pos.at[ltgt].set(pending.points, mode="drop"))
+    anchor = jnp.clip(lm.from_kf, 0)
+    p_c = jax.vmap(lambda T, p: lie.se3_apply(lie.se3_inv(T), p))(
+        kf.pose_l[anchor], lm.pos)
+    lm = lm._replace(pos_c=jnp.where(lm.valid[:, None], p_c, lm.pos_c))
+    return kf, lm

@@ -79,6 +79,10 @@ class SlamSystem:
         # merged on a later frame once ready; new keyframes are gated on the
         # merge like the reference's !opt_running && !opt_finished check
         self._pending_ba = None  # (WindowProblem, poses, points, intr2|None)
+        # async global BA after loop closure (global_ba_thread,
+        # slam.cpp:1778-1788), skip-merged once ready (slam.cpp:1410-1447)
+        self._pending_gba = None
+        self.gba_merges = 0
 
         # place recognition / loop closure
         self.detector = LoopDetector(cfg.num_consistency)
@@ -363,11 +367,25 @@ class SlamSystem:
         self._pending_ba = None
         return True
 
+    def _merge_pending_gba(self, force: bool = False) -> bool:
+        """Skip-merge a finished async global BA: entries modified since
+        the snapshot keep their newer values (slam.cpp:1410-1447)."""
+        if self._pending_gba is None:
+            return False
+        if not (force or self._pending_gba.ready()):
+            return False
+        self.kf, self.lm = ba_global.merge_global_ba(
+            self.kf, self.lm, self._pending_gba)
+        self._pending_gba = None
+        self.gba_merges += 1
+        return True
+
     def process_frame(self, img_l, img_r=None) -> dict:
         """One next_step. img_r required on keyframe steps."""
         cfg = self.cfg
         frame_id = self.frame
         self._merge_pending_ba()
+        self._merge_pending_gba()
 
         if self.take_keyframe:
             assert img_r is not None, "keyframe step needs the right image"
@@ -549,11 +567,15 @@ class SlamSystem:
             ba_intr = None
         self._pending_ba = (wp, ba_poses, ba_points, ba_intr)
 
-        # global BA after a pose-graph correction (slam.cpp:1285-1288)
+        # global BA after a pose-graph correction (slam.cpp:1285-1288):
+        # dispatched async like the reference's global_ba_thread — tracking
+        # continues, and the result skip-merges on a later frame. A solve
+        # already in flight is superseded (its snapshot predates the new
+        # correction).
         if self.pose_graph_done:
             self.pose_graph_done = False
             self._merge_pending_ba(force=True)
-            self.kf, self.lm, _ = ba_global.run_global_ba(
+            self._pending_gba = ba_global.dispatch_global_ba(
                 self.kf, self.lm, self.intr0, self.intr1,
                 cam_name=self.cam_name, huber=cfg.ba_huber_px)
 
@@ -575,6 +597,7 @@ class SlamSystem:
         """Offline full-map BA (the reference's offline_global_ba button,
         slam.cpp:1724-1740)."""
         self._merge_pending_ba(force=True)
+        self._merge_pending_gba(force=True)
         self.kf, self.lm, stats = ba_global.run_global_ba(
             self.kf, self.lm, self.intr0, self.intr1,
             cam_name=self.cam_name, huber=self.cfg.ba_huber_px)
@@ -586,6 +609,7 @@ class SlamSystem:
         from . import projections
 
         self._merge_pending_ba(force=True)
+        self._merge_pending_gba(force=True)
         return projections.compute_projections(
             self.kf, self.lm, self.intr0, self.intr1,
             cam_name=self.cam_name, O=self.cfg.window_obs,
@@ -596,6 +620,7 @@ class SlamSystem:
     def keyframe_trajectory(self):
         """(frame_ids, positions) of keyframe left cams, for ATE."""
         self._merge_pending_ba(force=True)
+        self._merge_pending_gba(force=True)
         valid = np.asarray(self.kf.valid)
         fids = np.asarray(self.kf.frame_id)[valid]
         poses = np.asarray(self.kf.pose_l)[valid]

@@ -74,14 +74,24 @@ class StreamState(NamedTuple):
     voc_word_of_node: jnp.ndarray = None  # [Nn] int32
     kf_words: jnp.ndarray = None        # [K, N] int32
     covis: jnp.ndarray = None           # [K, K] int32
+    # current-frame features (streaming relocalization only): the newest
+    # frame's descriptors/corners stay resident on device so a loss poll
+    # can recover without re-running the frontend (tracking.h:258-261
+    # recomputes them from a fresh imread instead)
+    cur_bits: jnp.ndarray = None        # [N, 256] uint8
+    cur_corners: jnp.ndarray = None     # [N, 2] float32
+    cur_valid: jnp.ndarray = None       # [N] bool
 
 
 def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
-               pnp_threshold: float, voc_depth: int = 0):
+               pnp_threshold: float, voc_depth: int = 0,
+               store_features: bool = False):
     """Build the fused per-frame step as a donated jitted function.
 
     ``voc_depth > 0`` compiles the BoW branch in (tree descent + word /
-    covisibility logging for the host's place-recognition poll)."""
+    covisibility logging for the host's place-recognition poll);
+    ``store_features`` keeps the newest frame's features in the state for
+    the relocalization poll."""
 
     def step(state: StreamState, img_l, img_r) -> StreamState:
         key, k1 = jax.random.split(state.key)
@@ -197,8 +207,19 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             return (kf, lm, pose, state.last_kf_slot, state.kf_words,
                     state.covis)
 
+        # in relocalization mode a lost frame must NOT become a keyframe:
+        # it would enter the map (and the recognition database) at the
+        # coasted garbage pose, and the reloc search would then "recover"
+        # to it by matching the frame against itself. The reference never
+        # hits this because its reloc runs in-frame before the KF decision
+        # is consumed (slam.cpp:1348-1377).
+        # (bootstrap exception: with an empty map tracking cannot succeed,
+        # so the first keyframe inserts unconditionally)
+        bootstrap = state.kf.next_slot == 0
+        do_kf = (state.take_kf & (ok | bootstrap)) if store_features \
+            else state.take_kf
         kf2, lm2, pose2, last_slot, kf_words, covis = lax.cond(
-            state.take_kf, kf_branch, tr_branch, (state.kf, state.lm))
+            do_kf, kf_branch, tr_branch, (state.kf, state.lm))
 
         # advance (slam.cpp:1299-1301,1453-1455) + velocity-decay guard
         vel = lie.se3_mul(lie.se3_inv(state.last_pose), pose2)
@@ -211,11 +232,21 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
 
         # next-frame keyframe decision, carried on device: a keyframe step
         # resets it (the reference's take_keyframe=false), a tracking step
-        # re-arms it on low inliers (slam.cpp:1374-1377)
-        take_next = ~state.take_kf & (n_inl < cfg.new_kf_min_inliers)
+        # re-arms it on low inliers (slam.cpp:1374-1377). A request blocked
+        # by the lost-frame gate above stays armed until a good frame
+        # consumes it.
+        take_next = ~do_kf & (state.take_kf
+                              | (n_inl < cfg.new_kf_min_inliers))
+
+        feat_fields = {}
+        if store_features:
+            feat_fields = dict(cur_bits=res.feats.bits,
+                               cur_corners=res.feats.corners,
+                               cur_valid=res.feats.valid)
 
         f = state.frame
         return state._replace(
+            **feat_fields,
             kf=kf2, lm=lm2,
             cur_pose=pose2, last_pose=pose2, vel=vel,
             take_kf=take_next,
@@ -224,10 +255,10 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             key=key,
             traj=state.traj.at[f].set(pose2, mode="drop"),
             log_inliers=state.log_inliers.at[f].set(n_inl, mode="drop"),
-            log_kf=state.log_kf.at[f].set(state.take_kf, mode="drop"),
+            log_kf=state.log_kf.at[f].set(do_kf, mode="drop"),
             log_ok=state.log_ok.at[f].set(ok, mode="drop"),
             log_slot=state.log_slot.at[f].set(
-                jnp.where(state.take_kf, last_slot, -1), mode="drop"),
+                jnp.where(do_kf, last_slot, -1), mode="drop"),
             kf_words=kf_words,
             covis=covis,
         )
@@ -241,7 +272,8 @@ class StreamingVO:
     def __init__(self, calib: Calibration,
                  config: Optional[SlamConfig] = None,
                  max_frames: int = 8192,
-                 vocabulary=None):
+                 vocabulary=None,
+                 store_features: bool = False):
         import math
 
         self.cfg = cfg = config or SlamConfig()
@@ -249,12 +281,14 @@ class StreamingVO:
         self.cam_name = calib.cam_types[0]
         self.max_frames = max_frames
         self.voc = vocabulary
+        self.store_features = store_features
         pnp_threshold = 1.0 - math.cos(
             math.atan(cfg.pnp_inlier_thresh_px / 500.0))
         self.pnp_threshold = pnp_threshold
         self._step = _make_step(
             cfg, self.cam_name, calib.width, calib.height, pnp_threshold,
-            voc_depth=vocabulary.depth if vocabulary is not None else 0)
+            voc_depth=vocabulary.depth if vocabulary is not None else 0,
+            store_features=store_features)
         self.reset()
 
     def reset(self):
@@ -276,6 +310,12 @@ class StreamingVO:
             )
         else:
             bow_fields = {}
+        if self.store_features:
+            N = cfg.num_features
+            bow_fields.update(
+                cur_bits=jnp.zeros((N, 256), jnp.uint8),
+                cur_corners=jnp.full((N, 2), -1.0, dt),
+                cur_valid=jnp.zeros((N,), bool))
         self.state = StreamState(
             kf=state_mod.init_keyframes(cfg.max_keyframes, cfg.num_features),
             lm=state_mod.init_landmarks(cfg.max_landmarks,
@@ -375,8 +415,16 @@ class StreamingSLAM(StreamingVO):
     The closure lands up to ``poll_every`` frames after the keyframe that
     triggered it; the reference has the same character (its loop closure +
     global BA run on background threads and merge later,
-    slam.cpp:1410-1447). Relocalization is not part of the streaming
-    driver — use SlamSystem when tracking-loss recovery is required.
+    slam.cpp:1410-1447).
+
+    Relocalization (``cfg.enable_relocalization``) uses the same pattern:
+    the newest frame's features stay resident in device state, the poll
+    watches the ``log_ok`` ring for a run of lost frames, and on sustained
+    loss the host pays one sync to run the BoW + PnP recovery
+    (tracking.h:241-419 semantics, loop/relocalize.py) against the live
+    map and patch the tracker pose. Recovery lands up to ``poll_every``
+    frames after re-sighting a mapped view; in between the stream coasts
+    on the decaying motion model.
 
     A pretrained vocabulary is required (the reference equally loads
     ORBvoc.txt before processing, slam.cpp:370-380).
@@ -388,7 +436,9 @@ class StreamingSLAM(StreamingVO):
             raise ValueError("StreamingSLAM requires a pretrained "
                              "vocabulary (loop.vocabulary.train or "
                              "load_dbow2_text)")
-        super().__init__(calib, config, max_frames, vocabulary=vocabulary)
+        cfg = config or SlamConfig()
+        super().__init__(calib, cfg, max_frames, vocabulary=vocabulary,
+                         store_features=cfg.enable_relocalization)
         from ..loop.detector import LoopDetector
 
         self.poll_every = poll_every
@@ -396,8 +446,11 @@ class StreamingSLAM(StreamingVO):
         self.covis_host: dict = {}
         self.frame_of_slot: dict = {}
         self.loop_edges: list = []
+        self.reloc_events: list = []   # (frame_polled, ok)
         self._polled_to = 0
         self._last_closure_frame = -(10 ** 9)
+        self._pending_gba = None
+        self.gba_merges = 0
         self._host_key = jax.random.PRNGKey(self.cfg.seed + 1)
 
     def _next_key(self):
@@ -429,9 +482,10 @@ class StreamingSLAM(StreamingVO):
 
     # ------------------------------------------------------------------
     def poll(self):
-        """Process keyframe events logged since the last poll."""
-        n, kf_log, slot_log = jax.device_get(
-            (self.state.frame, self.state.log_kf, self.state.log_slot))
+        """Process keyframe + loss events logged since the last poll."""
+        n, kf_log, slot_log, ok_log = jax.device_get(
+            (self.state.frame, self.state.log_kf, self.state.log_slot,
+             self.state.log_ok))
         n = int(n)
         events = [(f, int(slot_log[f])) for f in range(self._polled_to, n)
                   if kf_log[f] and slot_log[f] >= 0]
@@ -442,9 +496,76 @@ class StreamingSLAM(StreamingVO):
                 # re-handling would duplicate inverted-file entries
                 continue
             self._handle_keyframe(frame_idx, slot)
+        # sustained-loss detection -> relocalization (slam.cpp:1348-1367
+        # runs it per lost frame; here the poll reacts once per quantum)
+        R = self.cfg.reloc_lost_frames
+        if (self.cfg.enable_relocalization and self.detector.db.bow_of
+                and n >= R and not ok_log[n - R:n].any()):
+            self._try_relocalize_stream(n)
+        self._merge_gba_if_ready()
+
+    def _merge_gba_if_ready(self, force: bool = False):
+        """Skip-merge a finished async global BA (slam.cpp:1410-1447)."""
+        if self._pending_gba is None:
+            return
+        if not (force or self._pending_gba.ready()):
+            return
+        from . import ba_global
+
+        kf2, lm2 = ba_global.merge_global_ba(
+            self.state.kf, self.state.lm, self._pending_gba)
+        self.state = self.state._replace(kf=kf2, lm=lm2)
+        self._pending_gba = None
+        self.gba_merges += 1
+
+    def keyframe_trajectory(self):
+        self._merge_gba_if_ready(force=True)
+        return super().keyframe_trajectory()
 
     def _graph_sets(self):
         return {s: set(d) for s, d in self.covis_host.items()}
+
+    def _try_relocalize_stream(self, frame_now: int):
+        """One-sync recovery: BoW candidates + PnP vs the live map, then
+        patch the tracker pose in the stream state (the late-application
+        analogue of relocalize_camera, tracking.h:241-419)."""
+        from ..loop import relocalize as reloc_mod
+        from ..loop import vocabulary as vocab_mod
+
+        cfg = self.cfg
+        bits, valid, corners, cur_pose, vel = jax.device_get(
+            (self.state.cur_bits, self.state.cur_valid,
+             self.state.cur_corners, self.state.cur_pose, self.state.vel))
+        if int(valid.sum()) < cfg.reloc_min_features:
+            return  # blackout frame: nothing to recognize
+        words = np.asarray(vocab_mod._descend(
+            self.state.voc_desc, self.state.voc_children,
+            self.state.voc_word_of_node, jnp.asarray(bits),
+            jnp.asarray(valid), self.voc.depth))
+        bow = vocab_mod.bow_from_words(self.voc, words)
+        if not bow:
+            return
+        ok, T_wc, _pairs = reloc_mod.relocalize(
+            self.state.kf, self.state.lm, self.detector,
+            jnp.asarray(bits), jnp.asarray(valid), jnp.asarray(corners),
+            bow, self._graph_sets(), jnp.asarray(cur_pose),
+            jnp.asarray(vel), self.state.intr0, self.cam_name,
+            cfg.motion_threshold, self.pnp_threshold, self._next_key(),
+            num_hypotheses=cfg.ransac_hypotheses,
+            max_retries=cfg.track_max_retries,
+            max_candidates=cfg.reloc_max_candidates)
+        self.reloc_events.append((frame_now, bool(ok)))
+        if not ok:
+            return
+        # patch the tracker: recovered pose, motion model at rest, and a
+        # keyframe request so the next frame re-anchors the track (the
+        # reference's reloc'd frame re-enters the normal KF decision).
+        # cur/last must be DISTINCT buffers: the donated step would
+        # otherwise receive the same buffer twice.
+        T = jnp.asarray(T_wc, jnp.float32)
+        self.state = self.state._replace(
+            cur_pose=T, last_pose=T + 0, vel=lie.identity_pose(),
+            take_kf=jnp.asarray(True))
 
     def _handle_keyframe(self, frame_idx: int, slot: int):
         from ..loop import closure as closure_mod
@@ -463,6 +584,10 @@ class StreamingSLAM(StreamingVO):
 
         bow = vocab_mod.bow_from_words(self.voc, words)
         if not bow:
+            return
+        if not cfg.enable_loop_closure:
+            # relocalization-only mode still needs the recognition database
+            self.detector.db.insert(slot, bow)
             return
         candidates = self.detector.detect(
             slot, bow, edges, self._graph_sets(), 2 * cfg.num_cov_threshold,
@@ -528,10 +653,14 @@ class StreamingSLAM(StreamingVO):
             self.loop_edges.append((slot, cand))
             self._last_closure_frame = frame_idx
             if cfg.enable_gba_after_loop:
+                # async dispatch (the reference's global_ba_thread,
+                # slam.cpp:1778-1788): the stream keeps tracking while the
+                # solve runs; a later poll skip-merges the result. A solve
+                # already in flight is superseded (its snapshot predates
+                # this closure's correction — merging it would undo it).
                 from . import ba_global
 
-                kf3, lm3, _ = ba_global.run_global_ba(
+                self._pending_gba = ba_global.dispatch_global_ba(
                     self.state.kf, self.state.lm, self.state.intr0,
                     self.state.intr1, cam_name=self.cam_name,
                     huber=cfg.ba_huber_px)
-                self.state = self.state._replace(kf=kf3, lm=lm3)
