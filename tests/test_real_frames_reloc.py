@@ -23,7 +23,7 @@ pytestmark = pytest.mark.skipif(
     not (os.path.isdir(SAMPLE_DIR) and os.path.exists(CALIB)),
     reason="reference sample frames not available")
 
-N_MAP_FRAMES = 8
+N_MAP_FRAMES = 100  # ALL bundled pairs (201 JPEG files = 100 stereo pairs)
 
 
 @pytest.fixture(scope="module")
@@ -40,26 +40,28 @@ def mapped_system():
               for i in range(N_MAP_FRAMES)]
 
     cfg = SlamConfig(
-        num_features=800, ransac_hypotheses=192,
-        max_landmarks=16384, max_keyframes=64, max_inview_landmarks=1024,
+        num_features=600, ransac_hypotheses=192,
+        max_landmarks=65536, max_keyframes=128, max_inview_landmarks=1024,
         window_cams=24, window_points=4096, window_obs=10240,
         ba_max_iters=8,
         enable_relocalization=True, enable_loop_closure=False,
         vocab_depth=3,
+        # keep the whole lifetime map: sample frames never re-observe, so
+        # pressure-culling would evict exactly the landmarks the episode
+        # replays need
+        enable_lm_culling=False,
         # every sample frame is a new place: keyframe every frame, and the
         # motion gate must not veto reloc jumps between 7-second-apart views
         new_kf_min_inliers=10_000, motion_threshold=1e9,
     )
     slam = SlamSystem(calib, cfg)
     for img_l, img_r in frames:
-        slam.process_frame(img_l, img_r)
-        # every sample frame is a distinct place: merge the async BA and
-        # force the next frame to keyframe too (the driver's pending-BA
-        # gate would otherwise map only every other frame,
-        # slam.cpp:1374-1377 semantics)
-        slam._merge_pending_ba(force=True)
+        # every sample frame is a distinct place: force a keyframe per
+        # frame (the bypassed inlier gate cannot fire across 7 s gaps)
         slam.take_keyframe = True
+        slam.process_frame(img_l, img_r)
     slam.take_keyframe = False
+    slam._merge_pending_ba(force=True)
     return slam, frames, cfg
 
 
@@ -70,7 +72,7 @@ def test_map_built_on_real_frames(mapped_system):
     # real stereo pairs must triangulate a substantive map
     stereo = [s["stereo_inliers"] for s in kf_stats]
     assert np.median(stereo) > 60, f"stereo inliers {stereo}"
-    assert int(jnp.sum(slam.lm.valid)) > 400
+    assert int(jnp.sum(slam.lm.valid)) > 5000
     assert slam.device_voc is not None
     assert len(slam.detector.db.bow_of) == N_MAP_FRAMES
 
@@ -86,7 +88,7 @@ def test_relocalization_episode_chain(mapped_system):
     slot_of = {int(fid[s]): s for s in range(len(fid)) if fid[s] >= 0}
 
     recovered = 0
-    episodes = [1, 3, 5, 6]
+    episodes = list(range(1, N_MAP_FRAMES, 7))  # 15 spread over the run
     for j in episodes:
         bad = jnp.asarray([40.0, -25.0, 60.0, 0, 0, 0, 1.0])
         slam.track = slam.track._replace(
@@ -103,7 +105,10 @@ def test_relocalization_episode_chain(mapped_system):
         # same image as the stored keyframe: recovery must be tight
         if err < 0.10:
             recovered += 1
-    assert recovered >= 3, (
+    # per-episode recovery rate over the 100-keyframe map (the 1000-word
+    # online vocabulary + covisibility-free sample frames make this a
+    # pure BoW-retrieval + PnP benchmark on real images)
+    assert recovered >= 0.75 * len(episodes), (
         f"only {recovered}/{len(episodes)} episodes recovered")
 
 

@@ -120,6 +120,60 @@ def test_streaming_checkpoint_resume(seq, tmp_path):
     assert np.array_equal(ref, got)
 
 
+@pytest.mark.parametrize("pseed", [1, 4])
+def test_streaming_parity_at_scale(pseed):
+    """Parity at the scale the headline numbers are measured at: a
+    96-frame pano-world run (perspective warps, organic keyframe cadence,
+    window churn) per seed, streaming vs faithful driver. The two drivers
+    may differ by the BA merge lag (streaming keyframe poses are post-BA,
+    the faithful driver merges one frame later), so the bar is
+    keyframe-trajectory agreement within noise, not bit-equality."""
+    from vslam_tpu.synthetic_pano import generate_pano_loop
+
+    pano = generate_pano_loop(num_frames=96, revolutions=0.8, seed=pseed)
+    cfg = small_config()
+    cfg.quality_level = 0.001
+    cfg.match_max_dist_2d = 30.0
+
+    vo = StreamingVO(pano.calib, cfg, max_frames=128)
+    vo.run(pano.images, sync_every=0)
+    slam = SlamSystem(pano.calib, cfg)
+    for img_l, img_r in pano.images:
+        slam.process_frame(img_l, img_r)
+
+    fids_a, pos_a, _ = slam.keyframe_trajectory()
+    fids_b, pos_b, _ = vo.keyframe_trajectory()
+    # keyframe cadence is IDENTICAL over the early run (the decision math
+    # is the same program; once trajectories separate — see below — the
+    # inlier counts and thus the cadence follow their own paths)
+    # (±1 frame: the faithful driver's pending-BA gate can defer a
+    # keyframe by one frame, slam.cpp:1374-1377 !opt_running)
+    ka = fids_a[fids_a < 48]
+    kb = fids_b[fids_b < 48]
+    m = min(len(ka), len(kb))
+    assert m >= 4 and np.abs(ka[:m] - kb[:m]).max() <= 1, (
+        f"early keyframe cadences diverged: {fids_a} vs {fids_b}")
+    # per-FRAME trajectories agree closely over the early run (same
+    # gauge — no alignment). Beyond that the BA-merge-lag difference
+    # (streaming keyframe poses are post-BA, the faithful driver merges a
+    # frame later) compounds chaotically through VO drift, so late-run
+    # parity is asserted at the OUTCOME level (ATE) below.
+    traj_b = vo.results()["trajectory"][:, :3]
+    traj_a = np.asarray(slam.trajectory)[:, :3]
+    d = np.linalg.norm(traj_a - traj_b, axis=1)
+    # identical tracking math: bit-near-equal until the first real
+    # keyframe (frame fids_b[1]), where the lag first applies (streaming
+    # reports the post-BA pose, the faithful driver the pre-BA one)
+    first_kf = int(fids_b[1])
+    assert d[:first_kf].max() < 1e-3, (
+        f"pre-keyframe disagreement {d[:first_kf].max():.5f} m")
+    # and both deliver comparable ATE against ground truth
+    _, _, rmse_a = ate.align_svd(pos_a, pano.poses[fids_a, :3])
+    _, _, rmse_b = ate.align_svd(pos_b, pano.poses[fids_b, :3])
+    assert rmse_b < max(1.5 * rmse_a, 0.10), (rmse_b, rmse_a)
+    assert rmse_a < max(1.5 * rmse_b, 0.10), (rmse_a, rmse_b)
+
+
 def test_streaming_culling_under_pressure(seq):
     """Tiny landmark capacity: the in-step cull cond must recycle slots
     instead of silently dropping writes (streaming analogue of

@@ -99,10 +99,15 @@ class SlamSystem:
         return k
 
     def _predicted_pose(self):
+        """Constant-velocity prediction (tracking.h:66-70): landmarks are
+        projected from current*vel — on fast rotation the previous pose
+        alone pushes projections outside the 2D match gate (the streaming
+        driver predicts identically). Only a reloc-tracked loss holds the
+        last pose instead (tracking.h:72-84)."""
         t = self.track
-        if self.cfg.enable_relocalization and self.tracking_ok:
-            return lie.se3_mul(t.current_pose, t.vel)
-        return t.current_pose
+        if self.cfg.enable_relocalization and not self.tracking_ok:
+            return t.current_pose
+        return lie.se3_mul(t.current_pose, t.vel)
 
     def _run_tracking(self, img_l):
         cfg = self.cfg

@@ -18,6 +18,13 @@ and E is not unique. ``ransac_relative_pose_hybrid`` therefore races a
 initializer strategy) and recovers the pose from the Faugeras/Lustman
 H-decomposition when the homography wins — planar scenes (EuRoC's indoor
 walls) then select H and stay well-posed.
+
+STATUS: legacy/auxiliary, mirroring the reference. ``findInliersRansac``
+has no caller in the reference's main ``slam`` path either (it serves the
+course's SfM exercises); the stereo pipeline bootstraps scale from stereo
+triangulation and never needs a monocular relative pose. The module is
+kept API-complete (tests/test_relative_pose_planar.py pins both models)
+for users of the reference's SfM-helper surface (map_utils.h:120-317).
 """
 
 from __future__ import annotations
