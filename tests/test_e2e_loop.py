@@ -1,19 +1,23 @@
-"""End-to-end full-SLAM run on a closed-loop orbit (relocalization + loop
-closure machinery enabled, online vocabulary training).
+"""End-to-end full-SLAM runs with the FAITHFUL driver.
 
-Asserts bounded drift over a full 360-degree orbit and that the loop/reloc
-code paths execute without corrupting the state. (Organic BoW loop
-detection on the sprite-rendered synthetic world is exercised but not
-asserted — tests/test_loop_closure.py covers the closure machinery
-deterministically.)
+1. Closed-loop orbit on the sprite world: bounded drift, loop/reloc
+   machinery executes without corrupting state (organic detection on
+   billboards is appearance-ambiguous, so firing is not asserted there).
+2. Pano world with creeping gauge drift: an organic BoW closure MUST fire
+   through SlamSystem's keyframe step (slam.cpp:1219-1259 path) and
+   recover most of the injected error vs a no-loop control — the
+   faithful-driver counterpart of tests/test_streaming_slam.py.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from vslam_tpu import synthetic
 from vslam_tpu.config import SlamConfig
 from vslam_tpu.eval import ate
+from vslam_tpu.geometry import lie
 from vslam_tpu.pipeline.slam import SlamSystem
 
 
@@ -54,3 +58,97 @@ def test_full_slam_orbit():
     # the BoW pipeline ran: vocabulary trained, database populated
     assert slam.voc is not None
     assert len(slam.detector.db.bow_of) > 10
+
+
+# ---------------------------------------------------------------------------
+# Faithful-driver organic closure on the pano world (creeping gauge drift)
+# ---------------------------------------------------------------------------
+
+CREEP_FROM, CREEP_TO = 110, 150
+BOUNDARY_FRAME = 100
+T_OFF = np.array([2.4, -0.6, 1.6, 0.0, 0.04997917, 0.0, 0.99875026],
+                 np.float32)
+
+
+def pano_config(loop: bool):
+    return SlamConfig(
+        num_features=600, ransac_hypotheses=128, max_landmarks=32768,
+        max_keyframes=128, max_inview_landmarks=512, window_cams=24,
+        window_points=2048, window_obs=6144, ba_max_iters=10,
+        enable_relocalization=False, enable_loop_closure=loop,
+        enable_gba_after_loop=loop, new_kf_min_inliers=60,
+        loop_closing_time_threshold=20, quality_level=0.001,
+        match_max_dist_2d=30.0)
+
+
+def _inject_gauge_offset(slam, T_step):
+    """Move the live gauge (keyframes/landmarks after BOUNDARY_FRAME and
+    the tracker) by T_step, old map fixed — the SlamSystem version of the
+    streaming test's creeping-drift injector."""
+    T = jnp.asarray(T_step, jnp.float32)
+    slam._merge_pending_ba(force=True)
+    kf, lm = slam.kf, slam.lm
+    live_kf = kf.valid & (kf.frame_id >= BOUNDARY_FRAME)
+    mul = jax.vmap(lambda p: lie.se3_mul(T, p))
+    pose_l = jnp.where(live_kf[:, None], mul(kf.pose_l), kf.pose_l)
+    pose_r = jnp.where(live_kf[:, None], mul(kf.pose_r), kf.pose_r)
+    anchor = jnp.clip(lm.from_kf, 0)
+    live_lm = lm.valid & (lm.from_kf >= 0) & live_kf[anchor]
+    pos = jnp.where(live_lm[:, None], lie.se3_apply(T, lm.pos), lm.pos)
+    slam.kf = kf._replace(pose_l=pose_l, pose_r=pose_r)
+    slam.lm = lm._replace(pos=pos)
+    t = slam.track
+    slam.track = t._replace(
+        current_pose=lie.se3_mul(T, t.current_pose),
+        last_pose=lie.se3_mul(T, t.last_pose))
+
+
+def _run_with_injection(slam, seq):
+    n_creep = CREEP_TO - CREEP_FROM
+    T_step = np.asarray(lie.se3_exp(
+        lie.se3_log(jnp.asarray(T_OFF)) / n_creep))
+    for f in range(CREEP_FROM):
+        slam.process_frame(*seq.images[f])
+    for f in range(CREEP_FROM, CREEP_TO):
+        slam.process_frame(*seq.images[f])
+        _inject_gauge_offset(slam, T_step)
+    for f in range(CREEP_TO, len(seq.images)):
+        slam.process_frame(*seq.images[f])
+
+
+@pytest.mark.slow
+def test_faithful_driver_closes_organic_loop():
+    """A closure must FIRE through SlamSystem's keyframe step and stitch
+    the drifted gauges (the streaming test's scenario, faithful driver)."""
+    from vslam_tpu.frontend.features import extract_features
+    from vslam_tpu.loop import vocabulary as vocab_mod
+    from vslam_tpu.synthetic_pano import generate_pano_loop
+
+    seq = generate_pano_loop(num_frames=256, revolutions=1.75, seed=2)
+    pool = []
+    for f in range(0, 256, 8):
+        ft = extract_features(jnp.asarray(seq.images[f][0]),
+                              num_features=600, quality_level=0.001)
+        pool.append(np.asarray(ft.bits)[np.asarray(ft.valid)])
+    voc = vocab_mod.train(np.concatenate(pool), k=10, depth=4, seed=0)
+    vocab_mod.set_idf_weights(voc, pool)
+
+    slam = SlamSystem(seq.calib, pano_config(loop=True))
+    slam.set_vocabulary(voc)
+    _run_with_injection(slam, seq)
+    assert slam.loop_edges, "no closure fired in the faithful driver"
+    cur, cand = slam.loop_edges[0]
+    fid = np.asarray(slam.kf.frame_id)
+    assert fid[cur] - fid[cand] > 20
+
+    control = SlamSystem(seq.calib, pano_config(loop=False))
+    _run_with_injection(control, seq)
+
+    fids_s, pos_s, _ = slam.keyframe_trajectory()
+    fids_c, pos_c, _ = control.keyframe_trajectory()
+    rmse_s = ate.align_svd(pos_s, seq.poses[fids_s, :3])[2]
+    rmse_c = ate.align_svd(pos_c, seq.poses[fids_c, :3])[2]
+    assert np.isfinite(rmse_s)
+    assert rmse_s < 0.75 * rmse_c, (
+        f"closure did not stitch the gauges: {rmse_s:.2f} vs "
+        f"no-loop {rmse_c:.2f}")
