@@ -161,7 +161,10 @@ def test_closure_cooldown_keeps_consistent_map_good(pano):
     vo.run(seq.images)
     rmse_slam = _keyframe_ate(slam, seq)
     rmse_vo = _keyframe_ate(vo, seq)
-    assert rmse_slam < rmse_vo + 1.5, (rmse_slam, rmse_vo)
+    # full SLAM must stay at VO quality on a consistent map (measured
+    # +0.12 m worst seed; 15% headroom covers platform arithmetic drift —
+    # the old +1.5 m slack tolerated a 44% degradation)
+    assert rmse_slam < 1.15 * rmse_vo, (rmse_slam, rmse_vo)
 
 
 def test_streaming_slam_requires_vocabulary(pano):

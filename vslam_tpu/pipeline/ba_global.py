@@ -187,15 +187,23 @@ def dispatch_global_ba(
     M2 = int(lm.all_kf.shape[1])
     O = _pow2(min(n_lm * 6, Lw * M2), lo=1024)
     prob = _build(kf, lm, intr0, intr1, K2=K2, Lw=Lw, O=O)
+    snap_kf = kf.active.copy()
+    snap_lm = lm.active.copy()
+    # Materialize the snapshot BEFORE the caller enqueues more (donated)
+    # steps: the problem build and the mask copies read the live state
+    # buffers, and the caller's next step donates exactly those buffers.
+    # On the tunneled device, letting a donated write race an in-flight
+    # read was observed to hard-fault the chip; one blocking sync here
+    # (a rare closure-time event) closes the race. Only the SOLVE stays
+    # asynchronous — it reads nothing but the materialized problem.
+    jax.block_until_ready((prob, snap_kf, snap_lm))
     poses, points, _stats = ba_cg.solve_ba_cg(
         prob, cam_name=cam_name, huber=huber, max_iters=max_iters,
         cg_iters=cg_iters)
-    # the active masks must be COPIES: the caller's streaming step donates
-    # the state buffers, and the merge reads these long after dispatch
     return PendingGBA(
         poses=poses, points=points,
         n_kf=jnp.asarray(n_kf, jnp.int32), n_lm=jnp.asarray(n_lm, jnp.int32),
-        snap_active_kf=kf.active.copy(), snap_active_lm=lm.active.copy())
+        snap_active_kf=snap_kf, snap_active_lm=snap_lm)
 
 
 @jax.jit
