@@ -132,7 +132,10 @@ def run_global_ba(
     M2 = int(lm.all_kf.shape[1])
     O = _pow2(min(n_lm * 6, Lw * M2), lo=1024)
     prob = _build(kf, lm, intr0, intr1, K2=K2, Lw=Lw, O=O)
-    poses, points, stats = ba_cg.solve_ba_cg(
+    # stepped solver: one bounded device program per LM iteration (a
+    # monolithic full-iteration program at global-BA size was observed to
+    # hard-fault the tunneled chip when early termination doesn't trigger)
+    poses, points, stats = ba_cg.solve_ba_cg_stepped(
         prob, cam_name=cam_name, huber=huber, max_iters=max_iters,
         cg_iters=cg_iters)
     kf, lm = _merge(kf, lm, poses, points)
@@ -197,7 +200,7 @@ def dispatch_global_ba(
     # (a rare closure-time event) closes the race. Only the SOLVE stays
     # asynchronous — it reads nothing but the materialized problem.
     jax.block_until_ready((prob, snap_kf, snap_lm))
-    poses, points, _stats = ba_cg.solve_ba_cg(
+    poses, points, _stats = ba_cg.solve_ba_cg_stepped(
         prob, cam_name=cam_name, huber=huber, max_iters=max_iters,
         cg_iters=cg_iters)
     return PendingGBA(

@@ -42,21 +42,15 @@ def _residual_fn(cam_name, prob: BAProblem):
     return residuals
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cam_name", "max_iters", "cg_iters"))
-def solve_ba_cg(
-    prob: BAProblem,
-    cam_name: str = "ds",
-    huber: float = 1.0,
-    max_iters: int = 15,
-    cg_iters: int = 25,
-    lam0: float = 1e-3,
-):
-    """LM with inner CG. Returns (poses, points, stats)."""
+def _make_lm_step(prob: BAProblem, cam_name: str, huber, cg_iters: int):
+    """One gain-ratio LM iteration (CG inner solve) as a carry->carry fn.
+
+    Shared by the monolithic while_loop solver and the host-chained
+    stepped solver; carry = (poses, points, lam, nu, cost, it, done).
+    """
     K = prob.poses.shape[0]
     L = prob.points.shape[0]
     dtype = prob.poses.dtype
-    residuals = _residual_fn(cam_name, prob)
 
     free_c = (~prob.pose_fixed)[:, None].astype(dtype)       # [K, 1]
     free_p = prob.point_valid[:, None].astype(dtype)         # [L, 1]
@@ -64,19 +58,10 @@ def solve_ba_cg(
     def mask(dc, dp):
         return dc * free_c, dp * free_p
 
-    def cost_of(dc, dp):
-        r = residuals(dc, dp)
-        return _robust_cost(r, prob.obs_valid, huber)
-
     zero = (jnp.zeros((K, 6), dtype), jnp.zeros((L, 3), dtype))
     ftol = 1e-6
     gtol = 0.05  # relative gradient tolerance (same scale as solvers/ba.py)
-
     step_cap = 10.0
-
-    def cond(carry):
-        it, done = carry[-2], carry[-1]
-        return (it < max_iters) & ~done
 
     def step(carry):
         poses, points, lam, nu, cost, it, done = carry
@@ -153,11 +138,81 @@ def solve_ba_cg(
         return (poses, points, lam, nu, cost, it + 1,
                 converged | stuck | done_grad)
 
-    init_cost = cost_of(*zero)
+    return step
+
+
+@functools.partial(jax.jit, static_argnames=("cam_name",))
+def _init_carry(prob: BAProblem, cam_name: str, huber, lam0):
+    dtype = prob.poses.dtype
+    K = prob.poses.shape[0]
+    L = prob.points.shape[0]
+    zero = (jnp.zeros((K, 6), dtype), jnp.zeros((L, 3), dtype))
+    init_cost = _robust_cost(_residual_fn(cam_name, prob)(*zero),
+                             prob.obs_valid, huber)
+    return (prob.poses, prob.points, jnp.asarray(lam0, dtype),
+            jnp.asarray(2.0, dtype), init_cost,
+            jnp.asarray(0, jnp.int32), jnp.asarray(False))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cam_name", "max_iters", "cg_iters"))
+def solve_ba_cg(
+    prob: BAProblem,
+    cam_name: str = "ds",
+    huber: float = 1.0,
+    max_iters: int = 15,
+    cg_iters: int = 25,
+    lam0: float = 1e-3,
+):
+    """LM with inner CG, one fused device program. Returns
+    (poses, points, stats)."""
+    step = _make_lm_step(prob, cam_name, huber, cg_iters)
+
+    def cond(carry):
+        it, done = carry[-2], carry[-1]
+        return (it < max_iters) & ~done
+
+    carry0 = _init_carry(prob, cam_name, huber, lam0)
     poses, points, lam, nu, cost, iters, _ = lax.while_loop(
-        cond, step,
-        (prob.poses, prob.points, jnp.asarray(lam0, dtype),
-         jnp.asarray(2.0, dtype), init_cost,
-         jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+        cond, step, carry0)
+    return poses, points, {"initial_cost": carry0[4], "final_cost": cost,
+                           "iterations": iters}
+
+
+@functools.partial(jax.jit, static_argnames=("cam_name", "cg_iters"))
+def _lm_iter_program(carry, prob: BAProblem, cam_name, huber,
+                     cg_iters: int):
+    """One LM iteration as its own device program; converged carries pass
+    through a near-free cond branch."""
+    step = _make_lm_step(prob, cam_name, huber, cg_iters)
+    return lax.cond(carry[-1], lambda c: c, step, carry)
+
+
+def solve_ba_cg_stepped(
+    prob: BAProblem,
+    cam_name: str = "ds",
+    huber: float = 1.0,
+    max_iters: int = 15,
+    cg_iters: int = 25,
+    lam0: float = 1e-3,
+):
+    """Same LM-CG math as solve_ba_cg, but each LM iteration is a
+    SEPARATE device program chained asynchronously from the host.
+
+    Why this exists: a monolithic 15x25 LM-CG over a global-BA-sized
+    problem is a single tens-of-seconds device program, and the tunneled TPU
+    runtime was observed to hard-fault executions that long when the
+    early-termination path doesn't trigger (data-dependent). Chaining one
+    bounded program per iteration keeps every execution a few seconds,
+    costs no host syncs (the loop only enqueues), and converged
+    iterations reduce to a cheap cond pass-through — so results are
+    IDENTICAL to the monolithic solver.
+    """
+    carry = _init_carry(prob, cam_name, huber, lam0)
+    init_cost = carry[4]
+    for _ in range(max_iters):
+        carry = _lm_iter_program(carry, prob, cam_name, huber,
+                                 cg_iters=cg_iters)
+    poses, points, _lam, _nu, cost, iters, _done = carry
     return poses, points, {"initial_cost": init_cost, "final_cost": cost,
                            "iterations": iters}
