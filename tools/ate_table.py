@@ -43,7 +43,17 @@ def run_vo(seq, seed, degraded=False):
     return float(rmse)
 
 
-def run_pano(full_slam: bool, seed: int):
+_pano_cache = {}
+
+
+def run_pano(full_slam: bool, seed: int, num_features: int = 600):
+    """Pano-world run: ``full_slam`` = the reference's full default
+    config (loop closure + GBA after loop + relocalization,
+    slam.cpp:244-247); otherwise baseline VO.
+
+    ``num_features=600`` tracks the world tightly (consistent map — the
+    SLAM row must not degrade it); ``num_features=300`` starves the
+    geometry so drift accrues ORGANICALLY and closures must cut it."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -54,31 +64,42 @@ def run_pano(full_slam: bool, seed: int):
     from vslam_tpu.pipeline.streaming import StreamingSLAM, StreamingVO
     from vslam_tpu.synthetic_pano import generate_pano_loop
 
-    seq = generate_pano_loop(num_frames=256, revolutions=1.75, seed=2)
+    if "seq" not in _pano_cache:
+        _pano_cache["seq"] = generate_pano_loop(
+            num_frames=256, revolutions=1.75, seed=2)
+    seq = _pano_cache["seq"]
     cfg = SlamConfig(
-        num_features=600, ransac_hypotheses=128, max_landmarks=32768,
+        num_features=num_features, ransac_hypotheses=128,
+        max_landmarks=32768,
         max_keyframes=128, max_inview_landmarks=512, window_cams=24,
         window_points=2048, window_obs=6144, ba_max_iters=10,
-        enable_relocalization=False, enable_loop_closure=full_slam,
-        enable_gba_after_loop=False, new_kf_min_inliers=60,
+        enable_relocalization=full_slam, enable_loop_closure=full_slam,
+        enable_gba_after_loop=full_slam, new_kf_min_inliers=60,
         loop_closing_time_threshold=20, quality_level=0.001,
         match_max_dist_2d=30.0, seed=seed)
     if full_slam:
-        pool = []
-        for f in range(0, 256, 8):
-            ft = extract_features(jnp.asarray(seq.images[f][0]),
-                                  num_features=600, quality_level=0.001)
-            pool.append(np.asarray(ft.bits)[np.asarray(ft.valid)])
-        voc = vocab_mod.train(np.concatenate(pool), k=10, depth=4, seed=0)
-        vocab_mod.set_idf_weights(voc, pool)
-        slam = StreamingSLAM(seq.calib, cfg, voc, max_frames=288,
-                             poll_every=16)
+        if num_features not in _pano_cache:
+            pool = []
+            for f in range(0, 256, 8):
+                ft = extract_features(jnp.asarray(seq.images[f][0]),
+                                      num_features=num_features,
+                                      quality_level=0.001)
+                pool.append(np.asarray(ft.bits)[np.asarray(ft.valid)])
+            voc = vocab_mod.train(np.concatenate(pool), k=10, depth=4,
+                                  seed=0)
+            vocab_mod.set_idf_weights(voc, pool)
+            _pano_cache[num_features] = voc
+        slam = StreamingSLAM(seq.calib, cfg, _pano_cache[num_features],
+                             max_frames=288, poll_every=16)
     else:
         slam = StreamingVO(seq.calib, cfg, max_frames=288)
     slam.run(seq.images)
+    if full_slam:
+        slam._merge_gba_if_ready(force=slam._pending_gba is not None)
     fids, pos, _ = slam.keyframe_trajectory()
     _, _, rmse = ate.align_svd(pos, seq.poses[fids, :3])
-    return float(rmse)
+    n_loops = len(slam.loop_edges) if full_slam else 0
+    return float(rmse), n_loops
 
 
 def main():
@@ -108,15 +129,21 @@ def main():
             print(f"  {world} seed {s}: {vals[-1]:.3f} m", flush=True)
         rows.append((world, "VO (streaming)", vals))
 
-    for full in (False, True):
-        vals = []
-        for s in range(args.seeds):
-            vals.append(run_pano(full, seed=s))
-            print(f"  pano {'SLAM' if full else 'VO'} seed {s}: "
-                  f"{vals[-1]:.3f} m", flush=True)
-        rows.append(("pano orbit 1.75 rev (self-similar texture)",
-                     "full SLAM (loop closure)" if full else "baseline VO",
-                     vals))
+    for nf, world in ((600, "pano orbit 1.75 rev (consistent tracking)"),
+                      (300, "pano orbit 1.75 rev (organic drift, 300 "
+                            "feats)")):
+        for full in (False, True):
+            vals, loops = [], 0
+            for s in range(args.seeds):
+                r, nl = run_pano(full, seed=s, num_features=nf)
+                vals.append(r)
+                loops += nl
+                print(f"  pano nf={nf} {'SLAM' if full else 'VO'} "
+                      f"seed {s}: {r:.3f} m loops={nl}", flush=True)
+            cfg_name = ("full SLAM (LC+GBA+reloc, "
+                        f"{loops} closures/{args.seeds} seeds)"
+                        if full else "baseline VO")
+            rows.append((world, cfg_name, vals))
 
     lines = [
         "# Hermetic ATE table (synthetic ground truth)",
@@ -136,14 +163,23 @@ def main():
                      f"{np.nanmean(vals):.3f} |")
     lines += [
         "",
-        "Like the reference's table, the pano rows compare full SLAM",
-        "against baseline VO on a long revisit loop. With the gain-ratio",
-        "LM window BA, baseline drift on this orbit is already down to a",
-        "few meters (it was ~135 m with the naive accept rule and",
-        "exploded to km when robust steps exiled weak poses); the SLAM",
-        "row pins that organic closures fire AND do not degrade the map.",
-        "Drift-cutting on genuinely drifted maps is pinned by",
-        "tests/test_e2e_loop.py. Generated by tools/ate_table.py "
+        "Like the reference's table, the pano rows compare the FULL",
+        "default configuration (loop closure + GBA after loop +",
+        "relocalization, slam.cpp:244-247) against baseline VO on a long",
+        "revisit loop:",
+        "",
+        "- On the CONSISTENT world (600 features) tracking re-attaches to",
+        "  the old map through guided matching on the revisit, so no",
+        "  closure is *needed*; the SLAM row pins that the full machinery",
+        "  does not degrade the map (reference analogue: MH02/V1_1, where",
+        "  SLAM ~ VO).",
+        "- On the ORGANIC-DRIFT world (300 features) the gauges separate",
+        "  and closures must cut the accumulated error (reference",
+        "  analogue: MH01/MH03-05/V1_2-3, where SLAM beats VO by 2-12x).",
+        "  Seeds where no closure fires keep the VO number (detection is",
+        "  consistency-gated, num_consistency=3).",
+        "",
+        "Generated by tools/ate_table.py "
         f"in {time.time() - t_start:.0f}s.",
     ]
     with open(args.out, "w") as f:

@@ -94,6 +94,23 @@ class SlamSystem:
         self.pose_graph_done = False
 
     # ------------------------------------------------------------------
+    def set_params(self, **kwargs) -> None:
+        """Live-tunable runtime parameters (the pangolin::Var analogue,
+        slam.cpp:223-310: ~40 hyperparameters adjustable mid-run).
+
+        The host re-reads ``self.cfg`` every frame, so any SlamConfig
+        field can change between frames: thresholds that are traced
+        arguments apply instantly; fields that are compile-time constants
+        (feature counts, capacities) trigger one recompile on the next
+        frame — the moral equivalent of dragging a Pangolin slider.
+        The streaming driver compiles its config in (it exists to remove
+        per-frame host involvement); re-create it to re-tune.
+        """
+        for k, v in kwargs.items():
+            if not hasattr(self.cfg, k):
+                raise AttributeError(f"unknown config field: {k}")
+            setattr(self.cfg, k, v)
+
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
