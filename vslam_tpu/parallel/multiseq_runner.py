@@ -300,6 +300,35 @@ class MultiSeqVO:
         self.state = self._step(self.state, il, ir)
         return {"frame": int(self.state.frame) - 1}
 
+    def run(self, frames, prefetch: int = 8, sync_every: int = 256) -> int:
+        """Process [(imgs_l [S,H,W], imgs_r [S,H,W])] with a device-side
+        prefetch ring (same pattern as StreamingVO.run: committing the
+        uploads ``prefetch`` frames ahead keeps the h2d transfers off the
+        step's critical path — measured ~2x lockstep throughput)."""
+        n = len(frames)
+        buf = {}
+        sharding = self._img_sharding
+
+        def put(i):
+            il = jnp.asarray(np.asarray(frames[i][0]))
+            ir = jnp.asarray(np.asarray(frames[i][1]))
+            if sharding is not None:
+                il = jax.device_put(il, sharding)
+                ir = jax.device_put(ir, sharding)
+            buf[i] = (il, ir)
+
+        for i in range(min(prefetch, n)):
+            put(i)
+        for i in range(n):
+            il, ir = buf.pop(i)
+            self.state = self._step(self.state, il, ir)
+            j = i + prefetch
+            if j < n:
+                put(j)
+            if sync_every and (i + 1) % sync_every == 0:
+                jax.block_until_ready(self.state.frame)
+        return n
+
     # ------------------- compat / results accessors -------------------
     @property
     def pose(self):
