@@ -39,9 +39,16 @@ class Features(NamedTuple):
 
 
 def _downsample2(img_f):
-    """2x2 mean-pool halving (the pyramid step). img [H, W] f32."""
+    """2x2 mean-pool halving (the pyramid step). img [H, W] f32.
+
+    Rounded to integers so every pyramid level keeps the uint8 source's
+    integer-pixel invariant — the TPU descriptor-sampling contraction
+    (ops/describe.py) is bit-exact against the gather path only for
+    integer intensities (<= 255 is exact in bf16's 8 significant bits).
+    """
     h2, w2 = img_f.shape[0] // 2, img_f.shape[1] // 2
-    return img_f[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+    return jnp.round(
+        img_f[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).mean(axis=(1, 3)))
 
 
 def _level_budgets(num_features: int, num_octaves: int):

@@ -93,16 +93,21 @@ def compute_descriptors(patches, angles):
     ib = rotated_idx(PAT_B)
     if jax.default_backend() == "tpu":
         # per-row gathers lower poorly on TPU (~10 ms for 1500x256); the
-        # same sampling as a one-hot contraction rides the MXU (~2 ms) and
-        # is bit-exact (uint8 values sum exactly in f32)
+        # same sampling as a one-hot contraction rides the MXU and is
+        # bit-exact. The bit only needs sign(I(a) - I(b)), so ONE bf16
+        # contraction with the DIFFERENCE of the two one-hots replaces two
+        # f32 ones: products are 0 or +/-pixel (integers <= 255, exact in
+        # bf16's 8 significant bits) and accumulation is f32, so
+        # (diff < 0) == (va < vb) exactly — including the ia == ib
+        # coincidence case, where both give bit 0.
         iota = jnp.arange(_PATCH_W * _PATCH_W, dtype=jnp.int32)
-        oh_a = (ia[..., None] == iota).astype(jnp.float32)
-        oh_b = (ib[..., None] == iota).astype(jnp.float32)
-        va = jnp.einsum("npk,nk->np", oh_a, flat)
-        vb = jnp.einsum("npk,nk->np", oh_b, flat)
-    else:
-        va = jnp.take_along_axis(flat, ia, axis=1)
-        vb = jnp.take_along_axis(flat, ib, axis=1)
+        oh = ((ia[..., None] == iota).astype(jnp.bfloat16)
+              - (ib[..., None] == iota).astype(jnp.bfloat16))
+        diff = jnp.einsum("npk,nk->np", oh, flat.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        return (diff < 0).astype(jnp.uint8)
+    va = jnp.take_along_axis(flat, ia, axis=1)
+    vb = jnp.take_along_axis(flat, ib, axis=1)
     return (va < vb).astype(jnp.uint8)
 
 

@@ -342,28 +342,48 @@ class StreamingVO:
         self.state = self._step(self.state, jnp.asarray(img_l),
                                 jnp.asarray(img_r))
 
+    def _uploader_pool(self):
+        """Threaded device-put prefetcher.
+
+        The h2d commit of a 752x480 pair costs ~4 ms of *host* time through
+        the tunnel (the copy into the transfer buffer is synchronous), which
+        sat on the dispatch thread's critical path — ~20% of the per-frame
+        budget. Two uploader threads move it off; jax.device_put is
+        thread-safe and the futures preserve the consumption order.
+        """
+        import concurrent.futures as cf
+
+        if getattr(self, "_uploaders", None) is None:
+            self._uploaders = cf.ThreadPoolExecutor(max_workers=2)
+        return self._uploaders
+
     def run(self, frames, prefetch: int = 24, sync_every: int = 256,
             chunk: int = 0):
         """Process [(img_l, img_r)] pairs with a device-side prefetch ring.
 
-        Images are committed individually ``prefetch`` frames ahead (slicing
-        a batched upload inside the stream serializes the pipeline — the
-        slice executions interleave with the steps and cost ~2x throughput).
-        ``sync_every`` occasionally blocks on the frame counter so the
-        enqueue queue can't run unboundedly ahead of the device.
+        Images are committed individually ``prefetch`` frames ahead by the
+        uploader threads (slicing one batched upload inside the stream
+        serializes the pipeline — the slice executions interleave with the
+        steps and cost ~2x throughput; scanning frames on device runs the
+        keyframe lax.cond as BOTH branches per frame, ~7x). ``sync_every``
+        occasionally blocks on the frame counter so the enqueue queue can't
+        run unboundedly ahead of the device.
         """
         del chunk  # kept for API compat
         n = len(frames)
-        buf = {}
+        pool = self._uploader_pool()
+        futs = {}
 
         def put(i):
-            buf[i] = (jax.device_put(jnp.asarray(frames[i][0])),
-                      jax.device_put(jnp.asarray(frames[i][1])))
+            futs[i] = pool.submit(
+                lambda a, b: (jax.device_put(jnp.asarray(a)),
+                              jax.device_put(jnp.asarray(b))),
+                frames[i][0], frames[i][1])
 
         for i in range(min(prefetch, n)):
             put(i)
         for i in range(n):
-            il, ir = buf.pop(i)
+            il, ir = futs.pop(i).result()
             self.state = self._step(self.state, il, ir)
             j = i + prefetch
             if j < n:
@@ -461,16 +481,19 @@ class StreamingSLAM(StreamingVO):
             chunk: int = 0):
         del sync_every, chunk  # polling provides the queue bound
         n = len(frames)
-        buf = {}
+        pool = self._uploader_pool()
+        futs = {}
 
         def put(i):
-            buf[i] = (jax.device_put(jnp.asarray(frames[i][0])),
-                      jax.device_put(jnp.asarray(frames[i][1])))
+            futs[i] = pool.submit(
+                lambda a, b: (jax.device_put(jnp.asarray(a)),
+                              jax.device_put(jnp.asarray(b))),
+                frames[i][0], frames[i][1])
 
         for i in range(min(prefetch, n)):
             put(i)
         for i in range(n):
-            il, ir = buf.pop(i)
+            il, ir = futs.pop(i).result()
             self.state = self._step(self.state, il, ir)
             j = i + prefetch
             if j < n:
