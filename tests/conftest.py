@@ -22,3 +22,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    One pytest process compiles 150+ distinct XLA programs; on this
+    host the XLA:CPU compiler segfaults deterministically once enough
+    compiled state accumulates (observed at ~82% of the suite,
+    backend_compile_and_load frame, zero Python-side leak). Modules
+    rarely share program shapes, so the re-compile cost is small.
+    """
+    yield
+    jax.clear_caches()

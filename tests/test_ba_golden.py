@@ -13,7 +13,7 @@ import pytest
 from scipy.optimize import least_squares
 
 from vslam_tpu.geometry import cameras, lie
-from vslam_tpu.solvers import ba
+from vslam_tpu.solvers import ba, ba_blocked
 
 PINHOLE = np.array([300.0, 300.0, 320.0, 240.0, 0, 0, 0, 0])
 
@@ -113,3 +113,44 @@ def test_schur_ba_matches_scipy_reference():
     # and the recovered geometry agrees with scipy's
     err_t = np.abs(np.asarray(poses_ours)[:, :3] - poses_gt[:, :3]).max()
     assert err_t < 0.02, err_t
+
+
+def test_blocked_ba_matches_schur():
+    """The blocked MXU solver (solvers/ba_blocked.py) must reach the same
+    solution as the flat Schur solver on the same problem — same LM control
+    law, different data layout and aggregation (one-hot contractions vs
+    segment-sum scatters)."""
+    (poses_gt, pts_gt, poses0, pts0, obs_cam, obs_pt, obs_uv) = (
+        build_problem())
+    n_cams, n_pts = len(poses0), len(pts0)
+
+    flat = ba.BAProblem(
+        poses=jnp.asarray(poses0, jnp.float32),
+        pose_fixed=jnp.arange(n_cams) < 2,
+        intr=jnp.tile(jnp.asarray(PINHOLE, jnp.float32), (n_cams, 1)),
+        points=jnp.asarray(pts0, jnp.float32),
+        point_valid=jnp.ones(n_pts, bool),
+        obs_cam=jnp.asarray(obs_cam, jnp.int32),
+        obs_point=jnp.asarray(obs_pt, jnp.int32),
+        obs_uv=jnp.asarray(obs_uv, jnp.float32),
+        obs_valid=jnp.ones(len(obs_cam), bool),
+    )
+    # same observations as per-landmark tables: row p sees every camera
+    # (build_problem observes every point from every camera, cam-major)
+    uv_blk = obs_uv.reshape(n_cams, n_pts, 2).transpose(1, 0, 2)
+    blk = ba_blocked.BlockProblem(
+        poses=flat.poses, pose_fixed=flat.pose_fixed, intr=flat.intr,
+        points=flat.points, point_valid=flat.point_valid,
+        obs_cam=jnp.tile(jnp.arange(n_cams, dtype=jnp.int32), (n_pts, 1)),
+        obs_uv=jnp.asarray(uv_blk, jnp.float32),
+        obs_valid=jnp.ones((n_pts, n_cams), bool),
+    )
+    pf, xf, sf = ba.solve_ba_schur(flat, cam_name="pinhole", huber=1.0,
+                                   max_iters=30)
+    pb, xb, sb = ba_blocked.solve_ba_blocked(blk, cam_name="pinhole",
+                                             huber=1.0, max_iters=30)
+    assert abs(float(sf["initial_cost"]) - float(sb["initial_cost"])) \
+        <= 1e-2 * (1 + float(sf["initial_cost"]))
+    assert float(sb["final_cost"]) <= float(sf["final_cost"]) * 1.02
+    assert np.abs(np.asarray(pf) - np.asarray(pb)).max() < 1e-3
+    assert np.abs(np.asarray(xf) - np.asarray(xb)).max() < 1e-2

@@ -28,8 +28,12 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: the pipeline is a handful of fixed-shape XLA
 # programs recompiled identically every process; cache them across runs.
+# TPU/accelerator backends only — reloading cached CPU executables on this
+# host segfaults inside XLA's AOT loader (cpu_aot_loader machine-feature
+# mismatch, e.g. "+prefer-no-scatter"), so forced-CPU runs (the test
+# suite's 8-device host mesh) always compile fresh.
 _cache_dir = _os.environ.get(
     "VSLAM_JAX_CACHE", _os.path.expanduser("~/.cache/vslam_tpu_jax"))
-if _cache_dir:
+if _cache_dir and _os.environ.get("JAX_PLATFORMS", "") != "cpu":
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -65,6 +65,12 @@ class SlamConfig:
     # integrating a stale velocity through weak frames): decay the velocity
     # model toward rest when a frame is lost or localized on few inliers.
     enable_vel_decay: bool = True
+    deterministic_async: bool = True   # merge async BA/GBA results at a
+    # FIXED point (next frame / next poll) instead of when the device
+    # happens to finish. The reference's background threads merge on
+    # wall-clock readiness, which makes whole-run trajectories
+    # load-dependent; a fixed merge point keeps runs bit-reproducible.
+    # Set False to maximize tracking/solve overlap in production.
     vel_decay_factor: float = 0.5
     vel_decay_inlier_floor: int = 20
 

@@ -342,46 +342,61 @@ def loop_closure(
     fixed_current: bool = True,
     huber: float = 1.0,
     max_iters: int = 20,
-    align_current: bool = True,
-    extra_fixed=None,
+    live_slots=None,
 ):
-    """Align + pose graph + stereo/landmark update. Returns (kf, lm, stats).
+    """Rigid live-side correction + pose graph + landmark update.
+    Returns (kf, lm, stats).
 
-    ``align_current=False`` is the late-application mode (streaming driver):
-    the correction is applied after tracking has moved past ``cur_slot``,
-    so the live gauge must not move — the loop-align rewrite is skipped,
-    ``cur_slot`` stays at its drifted pose, and the pose graph's loop edge
-    drags the OLD side of the map into the live gauge instead.
-    (Incidentally this is what the reference actually executes: its
-    loop_align takes `Camera cur_kf` BY VALUE, loop_closure_utils.h:398,
-    so the aligned current pose write is silently lost.)
-    ``extra_fixed``: iterable of additional keyframe slots to hold fixed
-    (the streaming driver fixes every keyframe newer than ``cur_slot``).
+    The reference's loop flow (loop_closure_utils.h:398-415 loop_align +
+    :430-530 pose-graph) corrects the CURRENT keyframe onto the old map:
+    the old map is the datum, the live drift is the error. Here:
+
+    1. The live group — ``cur_slot``, its covisible neighbors, plus any
+       ``live_slots`` the caller knows about (the streaming driver passes
+       every keyframe newer than ``cur_slot``; tracking has moved past the
+       closure by up to a poll quantum) — is RIGIDLY moved by
+       ``T_corr = (T_w_cand * sim3) * T_w_cur^-1``, landing ``cur_slot``
+       exactly on its sim3-corrected pose. The caller is responsible for
+       applying the same ``T_corr`` to any tracker state that lives in
+       the same gauge (see StreamingSLAM._handle_keyframe).
+    2. The essential pose graph then distributes the gauge disagreement
+       over the middle of the chain: ALL odometry/covisibility edges are
+       measured from the PRE-correction poses (relative measurements are
+       gauge-invariant, so intra-live and intra-old edges keep zero
+       residual while mixed edges carry the full disagreement), the live
+       group and the candidate are the two fixed anchors, and the solver
+       bends the keyframes between them.
+
+    This direction matters: dragging the OLD map onto the live gauge (the
+    previous behaviour here) bends the datum — on a map with organic
+    drift it makes ATE WORSE because the accumulated error is pulled into
+    the historically-correct ring instead of out of the drifted tail.
     """
     n_kf = int(kf.next_slot)
     poses_pre = np.asarray(kf.pose_l)  # pre-align snapshot (measurements)
 
-    # ---- loop_align: re-pose the current KF and its covisible neighbors ----
-    # loop_closure_utils.h:398-415 computes cur_kf.T_w_c = T_w_cand * sim3 and
-    # neighbors relative to it. (We keep the written semantics — the aligned
-    # current pose is applied — which anchors the old map in place and makes
-    # the post-closure state self-consistent for the synchronous driver.)
+    # ---- rigid live-side alignment ----
     T_cur_pre = jnp.asarray(poses_pre[cur_slot])
     T_cur_aligned = lie.se3_mul(kf.pose_l[cand_slot], sim3)
-    if align_current:
-        pose_l = kf.pose_l.at[cur_slot].set(T_cur_aligned)
-        pose_r = kf.pose_r.at[cur_slot].set(lie.se3_mul(T_cur_aligned,
-                                                        T_0_1))
-        for nbr in covis.get(cur_slot, {}):
-            rel = lie.se3_mul(lie.se3_inv(T_cur_pre),
-                              jnp.asarray(poses_pre[nbr]))
-            T_nbr = lie.se3_mul(T_cur_aligned, rel)
-            pose_l = pose_l.at[nbr].set(T_nbr)
-            pose_r = pose_r.at[nbr].set(lie.se3_mul(T_nbr, T_0_1))
-        kf = kf._replace(pose_l=pose_l, pose_r=pose_r)
+    T_corr = lie.se3_normalize(
+        lie.se3_mul(T_cur_aligned, lie.se3_inv(T_cur_pre)))
+    group = {int(cur_slot)}
+    group.update(int(s) for s in covis.get(cur_slot, {}))
+    if live_slots is not None:
+        group.update(int(s) for s in live_slots)
+    group.discard(int(cand_slot))
+    group.difference_update(int(s) for s in covis.get(cand_slot, {}))
+    group = sorted(s for s in group if 0 <= s < n_kf)
+
+    gsel = jnp.asarray(np.asarray(group, np.int32))
+    moved_l = jax.vmap(lambda T: lie.se3_mul(T_corr, T))(kf.pose_l[gsel])
+    pose_l = kf.pose_l.at[gsel].set(moved_l)
+    pose_r = kf.pose_r.at[gsel].set(
+        jax.vmap(lambda T: lie.se3_mul(T, T_0_1))(moved_l))
+    kf = kf._replace(pose_l=pose_l, pose_r=pose_r)
     poses_post = np.asarray(kf.pose_l)
 
-    # ---- assemble the essential graph ----
+    # ---- assemble the essential graph (all measurements pre-align) ----
     parent = np.asarray(kf.parent)
     edges_i, edges_j, meas = [], [], []
 
@@ -397,13 +412,13 @@ def loop_closure(
             continue  # covered by the essential edge below
         edges_i.append(i)
         edges_j.append(p)
-        meas.append(log_rel(poses_post[i], poses_post[p]))  # post-align
+        meas.append(log_rel(poses_pre[i], poses_pre[p]))
     for i in range(n_kf):
         for j, w in covis.get(i, {}).items():
             if w > essential_threshold and i < j < n_kf:
                 edges_i.append(i)
                 edges_j.append(j)
-                meas.append(log_rel(poses_pre[i], poses_pre[j]))  # pre-align
+                meas.append(log_rel(poses_pre[i], poses_pre[j]))
     # loop edge: log(sim3^-1) between current and candidate
     edges_i.append(cur_slot)
     edges_j.append(cand_slot)
@@ -412,12 +427,14 @@ def loop_closure(
     E = len(edges_i)
     K = _pow2(n_kf)
     E_pad = _pow2(E)
-    fixed = (np.arange(K) >= n_kf) \
-        | (np.arange(K) == (cur_slot if fixed_current else -1))
-    if extra_fixed is not None:
-        for s in extra_fixed:
-            if 0 <= s < K:
-                fixed[s] = True
+    # anchors: the (corrected) live group and the candidate; the chain
+    # between them absorbs the disagreement
+    fixed = np.arange(K) >= n_kf
+    fixed[cand_slot] = True
+    for s in group:
+        fixed[s] = True
+    if not fixed_current:
+        fixed[cur_slot] = False
     prob = pose_graph.PoseGraphProblem(
         poses=jnp.asarray(
             np.concatenate([poses_post[:n_kf],

@@ -23,6 +23,7 @@ from ..core.state import KeyframeState, LandmarkState
 from ..geometry import lie
 from ..solvers import ba_cg
 from ..solvers.ba import BAProblem
+from ..solvers.ba_blocked import BlockProblem
 
 
 def _pow2(n: int, lo: int = 16) -> int:
@@ -30,6 +31,14 @@ def _pow2(n: int, lo: int = 16) -> int:
     while p < n:
         p *= 2
     return p
+
+
+# Above this many keyframe PAIRS the dense 6K x 6K reduced camera system
+# of the blocked Schur solver stops being obviously cheap (12K^2 floats,
+# O(K^3) solve) and global BA falls back to matrix-free LM-CG. 128 pairs
+# = a 1536-dof dense solve — still small; the CG path exists for the
+# thousands-of-keyframes stretch config (tests/test_ba_scale.py).
+BLOCKED_MAX_PAIRS = 128
 
 
 class GlobalProblem(NamedTuple):
@@ -88,6 +97,45 @@ def _build(kf: KeyframeState, lm: LandmarkState, intr0, intr1,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("K2", "Lw"))
+def _build_blocked(kf: KeyframeState, lm: LandmarkState, intr0, intr1,
+                   K2: int, Lw: int) -> BlockProblem:
+    """Global problem in the blocked [Lw, M2] layout: the lifetime obs
+    tables (all_obs, loop_closure_utils.h:702-728) map straight through —
+    no flat compaction, no observation cap."""
+    K = kf.frame_id.shape[0]
+    dtype = kf.pose_l.dtype
+    kf_ids = jnp.arange(K2, dtype=jnp.int32)
+    kf_ok = (kf_ids < kf.next_slot) & kf.valid[jnp.clip(kf_ids, 0, K - 1)]
+    sel_kf = jnp.clip(kf_ids, 0, K - 1)
+
+    poses = jnp.stack([kf.pose_l[sel_kf], kf.pose_r[sel_kf]], 1).reshape(
+        2 * K2, 7)
+    fixed = jnp.repeat(~kf_ok | (kf_ids == 0), 2)
+    intr = jnp.stack([jnp.broadcast_to(intr0, (K2, 8)),
+                      jnp.broadcast_to(intr1, (K2, 8))], 1).reshape(
+        2 * K2, 8).astype(dtype)
+
+    L = lm.pos.shape[0]
+    lm_ids = jnp.arange(Lw, dtype=jnp.int32)
+    lm_ok = (lm_ids < lm.next_slot) & lm.valid[jnp.clip(lm_ids, 0, L - 1)]
+    sel_lm = jnp.clip(lm_ids, 0, L - 1)
+
+    okf = lm.all_kf[sel_lm]         # [Lw, M2]
+    ocam = lm.all_cam[sel_lm]
+    ofeat = lm.all_feat[sel_lm]
+    ovalid = (okf >= 0) & (okf < K2) & lm_ok[:, None]
+    obs_cam = 2 * jnp.clip(okf, 0) + ocam
+    obs_uv = kf.corners[jnp.clip(okf, 0), ocam, ofeat]
+
+    return BlockProblem(
+        poses=poses, pose_fixed=fixed, intr=intr,
+        points=lm.pos[sel_lm], point_valid=lm_ok,
+        obs_cam=obs_cam.astype(jnp.int32),
+        obs_uv=obs_uv.astype(dtype), obs_valid=ovalid,
+    )
+
+
 @jax.jit
 def _merge(kf: KeyframeState, lm: LandmarkState, poses, points):
     """Scatter back all-KF poses and all-landmark positions; refresh p_c."""
@@ -129,15 +177,23 @@ def run_global_ba(
     n_lm = int(lm.next_slot)
     K2 = _pow2(n_kf)
     Lw = _pow2(n_lm, lo=256)
-    M2 = int(lm.all_kf.shape[1])
-    O = _pow2(min(n_lm * 6, Lw * M2), lo=1024)
-    prob = _build(kf, lm, intr0, intr1, K2=K2, Lw=Lw, O=O)
-    # stepped solver: one bounded device program per LM iteration (a
-    # monolithic full-iteration program at global-BA size was observed to
-    # hard-fault the tunneled chip when early termination doesn't trigger)
-    poses, points, stats = ba_cg.solve_ba_cg_stepped(
-        prob, cam_name=cam_name, huber=huber, max_iters=max_iters,
-        cg_iters=cg_iters)
+    if K2 <= BLOCKED_MAX_PAIRS:
+        from ..solvers import ba_blocked
+
+        bprob = _build_blocked(kf, lm, intr0, intr1, K2=K2, Lw=Lw)
+        poses, points, stats = ba_blocked.solve_ba_blocked(
+            bprob, cam_name=cam_name, huber=huber, max_iters=max_iters)
+    else:
+        M2 = int(lm.all_kf.shape[1])
+        O = _pow2(min(n_lm * 6, Lw * M2), lo=1024)
+        prob = _build(kf, lm, intr0, intr1, K2=K2, Lw=Lw, O=O)
+        # stepped solver: one bounded device program per LM iteration (a
+        # monolithic full-iteration program at global-BA size was observed
+        # to hard-fault the tunneled chip when early termination doesn't
+        # trigger)
+        poses, points, stats = ba_cg.solve_ba_cg_stepped(
+            prob, cam_name=cam_name, huber=huber, max_iters=max_iters,
+            cg_iters=cg_iters)
     kf, lm = _merge(kf, lm, poses, points)
     return kf, lm, stats
 
@@ -187,9 +243,13 @@ def dispatch_global_ba(
     n_lm = int(lm.next_slot)
     K2 = _pow2(n_kf)
     Lw = _pow2(n_lm, lo=256)
-    M2 = int(lm.all_kf.shape[1])
-    O = _pow2(min(n_lm * 6, Lw * M2), lo=1024)
-    prob = _build(kf, lm, intr0, intr1, K2=K2, Lw=Lw, O=O)
+    blocked = K2 <= BLOCKED_MAX_PAIRS
+    if blocked:
+        prob = _build_blocked(kf, lm, intr0, intr1, K2=K2, Lw=Lw)
+    else:
+        M2 = int(lm.all_kf.shape[1])
+        O = _pow2(min(n_lm * 6, Lw * M2), lo=1024)
+        prob = _build(kf, lm, intr0, intr1, K2=K2, Lw=Lw, O=O)
     snap_kf = kf.active.copy()
     snap_lm = lm.active.copy()
     # Materialize the snapshot BEFORE the caller enqueues more (donated)
@@ -200,9 +260,15 @@ def dispatch_global_ba(
     # (a rare closure-time event) closes the race. Only the SOLVE stays
     # asynchronous — it reads nothing but the materialized problem.
     jax.block_until_ready((prob, snap_kf, snap_lm))
-    poses, points, _stats = ba_cg.solve_ba_cg_stepped(
-        prob, cam_name=cam_name, huber=huber, max_iters=max_iters,
-        cg_iters=cg_iters)
+    if blocked:
+        from ..solvers import ba_blocked
+
+        poses, points, _stats = ba_blocked.solve_ba_blocked(
+            prob, cam_name=cam_name, huber=huber, max_iters=max_iters)
+    else:
+        poses, points, _stats = ba_cg.solve_ba_cg_stepped(
+            prob, cam_name=cam_name, huber=huber, max_iters=max_iters,
+            cg_iters=cg_iters)
     return PendingGBA(
         poses=poses, points=points,
         n_kf=jnp.asarray(n_kf, jnp.int32), n_lm=jnp.asarray(n_lm, jnp.int32),

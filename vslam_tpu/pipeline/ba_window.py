@@ -154,7 +154,12 @@ def run_window_ba(
     Lw: int = 8192,
     O: int = 24576,
 ):
-    """Build, solve, merge. Returns (kf, lm, stats)."""
+    """Build, solve, merge. Returns (kf, lm, stats).
+
+    Uses the flat Schur solver — at window size it beats the blocked MXU
+    solver (which owns global BA, pipeline/ba_global.py): fewer padded
+    obs slots and the [K*L] coupling densification is cheap at K<=24.
+    """
     wp = build_window_problem(kf, lm, intr0, intr1, W2=W2, Lw=Lw, O=O)
     poses, points, stats = ba.solve_ba_schur(
         wp.prob, cam_name=cam_name, huber=huber, max_iters=max_iters)

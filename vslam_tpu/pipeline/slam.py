@@ -351,6 +351,10 @@ class SlamSystem:
                 sim3 = lie.identity_pose()
             self.loop_edges.append((slot, cand))
             self._last_closure_frame = self.frame
+            # the live side (slot + covisible group) moves rigidly onto
+            # the old map; the tracker follows for free — the keyframe
+            # step's epilogue re-reads kf.pose_l[slot] (post-closure)
+            # into track.current_pose
             self.kf, self.lm, _ = closure_mod.loop_closure(
                 self.kf, self.lm, slot, cand, sim3, self.covis, self.T_0_1,
                 essential_threshold=cfg.num_ess_threshold,
@@ -406,8 +410,11 @@ class SlamSystem:
         """One next_step. img_r required on keyframe steps."""
         cfg = self.cfg
         frame_id = self.frame
-        self._merge_pending_ba()
-        self._merge_pending_gba()
+        # deterministic_async: a fixed one-frame merge lag (the reference's
+        # background threads merge on wall-clock readiness, which makes
+        # whole-run trajectories load-dependent)
+        self._merge_pending_ba(force=cfg.deterministic_async)
+        self._merge_pending_gba(force=cfg.deterministic_async)
 
         if self.take_keyframe:
             assert img_r is not None, "keyframe step needs the right image"

@@ -175,7 +175,9 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
 
             # synchronous windowed Schur BA (slam.cpp:1510-1569); the
             # keyframe pose below is post-BA — fresher than the reference's
-            # background-thread merge
+            # background-thread merge. (The flat solver wins at window
+            # size; the blocked MXU solver takes over for global BA —
+            # see solvers/ba_blocked.py and pipeline/ba_global.py.)
             wp = ba_window.build_window_problem(
                 kf2, lm2, state.intr0, state.intr1,
                 W2=cfg.window_cams // 2, Lw=cfg.window_points,
@@ -543,10 +545,15 @@ class StreamingSLAM(StreamingVO):
         self._merge_gba_if_ready()
 
     def _merge_gba_if_ready(self, force: bool = False):
-        """Skip-merge a finished async global BA (slam.cpp:1410-1447)."""
+        """Skip-merge a finished async global BA (slam.cpp:1410-1447).
+
+        With cfg.deterministic_async the merge lands at the first poll
+        after dispatch (fixed point) instead of whenever the solve
+        happens to finish — run-to-run reproducibility over overlap."""
         if self._pending_gba is None:
             return
-        if not (force or self._pending_gba.ready()):
+        if not (force or self.cfg.deterministic_async
+                or self._pending_gba.ready()):
             return
         from . import ba_global
 
@@ -676,18 +683,26 @@ class StreamingSLAM(StreamingVO):
             if not cfg.use_sim3:
                 sim3 = lie.identity_pose()
             # late application: the stream has tracked past `slot` by up to
-            # poll_every frames — hold the live gauge (slot + every newer
-            # keyframe) fixed and let the pose graph drag the OLD map over
+            # poll_every frames — the whole live gauge (slot + every newer
+            # keyframe + the tracker) moves RIGIDLY onto the old map (the
+            # datum), and the pose graph bends the chain between the two
+            # anchors (see loop_closure docstring for why this direction)
             newer = [s for s, f in self.frame_of_slot.items()
                      if f >= self.frame_of_slot[slot]]
+            T_corr = lie.se3_normalize(lie.se3_mul(
+                lie.se3_mul(self.state.kf.pose_l[cand], sim3),
+                lie.se3_inv(self.state.kf.pose_l[slot])))
             kf2, lm2, _ = closure_mod.loop_closure(
                 self.state.kf, self.state.lm, slot, cand, sim3,
                 self.covis_host, self.state.T_0_1,
                 essential_threshold=cfg.num_ess_threshold,
-                fixed_current=True, align_current=False,
-                extra_fixed=newer,
-                huber=1.0, max_iters=20)
-            self.state = self.state._replace(kf=kf2, lm=lm2)
+                live_slots=newer, huber=1.0, max_iters=20)
+            # the tracker lives in the corrected gauge now (vel is a
+            # relative pose — invariant under the left world correction)
+            self.state = self.state._replace(
+                kf=kf2, lm=lm2,
+                cur_pose=lie.se3_mul(T_corr, self.state.cur_pose),
+                last_pose=lie.se3_mul(T_corr, self.state.last_pose))
             self.loop_edges.append((slot, cand))
             self._last_closure_frame = frame_idx
             if cfg.enable_gba_after_loop:

@@ -11,8 +11,13 @@ cameras, 20 LM iterations (map_utils.h:333).
 
 Design (all fixed-shape, one XLA program per problem size):
 - observations live in flat padded arrays (obs_cam, obs_point, obs_uv,
-  obs_valid); per-observation Jacobians come from vmapped jacfwd through the
-  camera models — the same autodiff role Ceres Jets play in the reference.
+  obs_valid); pose/point Jacobians are ANALYTIC through the SE3 chain
+  (dp_c/d[ups, omega] = [-I | hat(p_c)] for the right-multiplicative
+  retraction, dp_c/dX = R_cw), with autodiff only through the camera
+  projection itself (vmapped jacfwd of a R^3 -> R^2 function) — the same
+  autodiff role Ceres Jets play in the reference, but the per-observation
+  quaternion inverse/retract chain is hoisted to a per-CAMERA precompute
+  (K rotation matrices instead of O jacfwd chains).
 - robust IRLS weights implement the Huber loss.
 - the landmark block of the normal equations is eliminated explicitly:
   H_pp is [L, 3, 3] block-diagonal (batched 3x3 solves), the coupling
@@ -68,26 +73,59 @@ def _sanitize(x):
     return jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
 
 
+def _cam_inverse(poses):
+    """Per-camera world->cam transform: R_cw [K,3,3], t_cw [K,3]."""
+    R_wc = lie.quat_to_matrix(poses[..., 3:7])
+    R_cw = jnp.swapaxes(R_wc, -1, -2)
+    t_cw = -jnp.einsum("...ij,...j->...i", R_cw, poses[..., :3])
+    return R_cw, t_cw
+
+
+def _obs_p_c(prob: BAProblem, poses, points):
+    """Camera-frame points p_c [O,3] + gathered R_cw [O,3,3], intr [O,8]."""
+    R_cw, t_cw = _cam_inverse(poses)
+    Rg = R_cw[prob.obs_cam]
+    p_c = (jnp.einsum("oij,oj->oi", Rg, points[prob.obs_point])
+           + t_cw[prob.obs_cam])
+    return p_c, Rg, prob.intr[prob.obs_cam]
+
+
+def _residuals(cam_name, prob: BAProblem, poses, points):
+    """r = uv - project(p_c) [O,2] with per-camera precomputed inverses."""
+    p_c, _, intr = _obs_p_c(prob, poses, points)
+    pred = jax.vmap(lambda i, p: cam_models.project(cam_name, i, p))(intr,
+                                                                     p_c)
+    return jnp.clip(prob.obs_uv - pred, -RESIDUAL_CLIP, RESIDUAL_CLIP)
+
+
 def _obs_residual_jac(cam_name, prob: BAProblem, poses, points):
     """Residuals [O, 2] and Jacobians wrt camera delta [O, 2, 6] and point
-    [O, 2, 3], at the current (poses, points)."""
+    [O, 2, 3], at the current (poses, points).
 
-    def one(cam_i, pt_i, uv):
-        T = poses[cam_i]
-        X = points[pt_i]
-        intr = prob.intr[cam_i]
+    Analytic SE3 chain (golden-tested against the jacfwd-through-retract
+    version): with the right-multiplicative retraction T*exp(delta),
+    p_c(delta) = exp(-delta) p_c, so dp_c/d[ups, omega] = [-I | hat(p_c)]
+    and dp_c/dX = R_cw; only the camera-model projection Jacobian
+    dproj/dp_c comes from autodiff. r = uv - proj flips the signs.
+    """
+    p_c, Rg, intr = _obs_p_c(prob, poses, points)
 
-        def r_of(delta, dX):
-            return _project_obs(cam_name, intr, lie.se3_retract(T, delta), X + dX, uv)
+    def proj1(intr_i, pc_i):
+        return cam_models.project(cam_name, intr_i, pc_i)
 
-        d0 = jnp.zeros(6, dtype=poses.dtype)
-        x0 = jnp.zeros(3, dtype=points.dtype)
-        r = r_of(d0, x0)
-        Jc = jax.jacfwd(r_of, argnums=0)(d0, x0)
-        Jp = jax.jacfwd(r_of, argnums=1)(d0, x0)
-        return r, Jc, Jp
-
-    return jax.vmap(one)(prob.obs_cam, prob.obs_point, prob.obs_uv)
+    pred = jax.vmap(proj1)(intr, p_c)
+    Jproj = jax.vmap(jax.jacfwd(proj1, argnums=1))(intr, p_c)  # [O, 2, 3]
+    raw = prob.obs_uv - pred
+    r = jnp.clip(raw, -RESIDUAL_CLIP, RESIDUAL_CLIP)
+    # a clipped residual component has zero derivative (the jacfwd-through-
+    # clip semantics this replaces): without this, an outlier's ~1/z^2
+    # Jacobian squared can outweigh its tiny Huber weight
+    inside = (jnp.abs(raw) < RESIDUAL_CLIP).astype(r.dtype)[..., None]
+    Jproj = Jproj * inside
+    Jc = jnp.concatenate(
+        [Jproj, -jnp.einsum("oij,ojk->oik", Jproj, lie.hat(p_c))], axis=-1)
+    Jp = -jnp.einsum("oij,ojk->oik", Jproj, Rg)
+    return r, Jc, Jp
 
 
 def _huber_weights(r, huber: float):
@@ -128,10 +166,17 @@ def _normal_equations(cam_name, prob: BAProblem, poses, points, huber):
     bc_o = jnp.einsum("oia,oi->oa", Jc, r)           # [O, 6]
     bp_o = jnp.einsum("oia,oi->oa", Jp, r)           # [O, 3]
 
-    Hcc = jax.ops.segment_sum(Hcc_o, prob.obs_cam, num_segments=K)
-    Hpp = jax.ops.segment_sum(Hpp_o, prob.obs_point, num_segments=L)
-    bc = jax.ops.segment_sum(bc_o, prob.obs_cam, num_segments=K)
-    bp = jax.ops.segment_sum(bp_o, prob.obs_point, num_segments=L)
+    # one packed segment-sum per target axis (each segment_sum is a
+    # scatter pass over O; packing halves the pass count)
+    O_ = r.shape[0]
+    cam_pack = jax.ops.segment_sum(
+        jnp.concatenate([Hcc_o.reshape(O_, 36), bc_o], axis=1),
+        prob.obs_cam, num_segments=K)
+    Hcc, bc = cam_pack[:, :36].reshape(K, 6, 6), cam_pack[:, 36:]
+    pt_pack = jax.ops.segment_sum(
+        jnp.concatenate([Hpp_o.reshape(O_, 9), bp_o], axis=1),
+        prob.obs_point, num_segments=L)
+    Hpp, bp = pt_pack[:, :9].reshape(L, 3, 3), pt_pack[:, 9:]
 
     # densify W into U [K*L, 6, 3] via segment over (cam, point) pair ids
     pair_id = prob.obs_cam * L + prob.obs_point
@@ -145,28 +190,30 @@ def _obs_residual_jac_intr(cam_name, prob: BAProblem, poses, points, intr2):
 
     intr2 [2, 8] holds the physical left/right intrinsics; camera row k uses
     block k % 2 (build_window_problem interleaves left/right rows). Returns
-    (r [O,2], Jc [O,2,6], Jp [O,2,3], Ji [O,2,8]).
+    (r [O,2], Jc [O,2,6], Jp [O,2,3], Ji [O,2,8]). Same analytic SE3 chain
+    as _obs_residual_jac; the intrinsics Jacobian is autodiff through the
+    projection alongside dproj/dp_c.
     """
+    R_cw, t_cw = _cam_inverse(poses)
+    Rg = R_cw[prob.obs_cam]
+    p_c = (jnp.einsum("oij,oj->oi", Rg, points[prob.obs_point])
+           + t_cw[prob.obs_cam])
+    intr = intr2[prob.obs_cam % 2]
 
-    def one(cam_i, pt_i, uv):
-        T = poses[cam_i]
-        X = points[pt_i]
-        base = intr2[cam_i % 2]
+    def proj1(intr_i, pc_i):
+        return cam_models.project(cam_name, intr_i, pc_i)
 
-        def r_of(delta, dX, di):
-            return _project_obs(cam_name, base + di,
-                                lie.se3_retract(T, delta), X + dX, uv)
-
-        d0 = jnp.zeros(6, dtype=poses.dtype)
-        x0 = jnp.zeros(3, dtype=points.dtype)
-        i0 = jnp.zeros(8, dtype=intr2.dtype)
-        r = r_of(d0, x0, i0)
-        Jc = jax.jacfwd(r_of, argnums=0)(d0, x0, i0)
-        Jp = jax.jacfwd(r_of, argnums=1)(d0, x0, i0)
-        Ji = jax.jacfwd(r_of, argnums=2)(d0, x0, i0)
-        return r, Jc, Jp, Ji
-
-    return jax.vmap(one)(prob.obs_cam, prob.obs_point, prob.obs_uv)
+    pred = jax.vmap(proj1)(intr, p_c)
+    Ji_p, Jproj = jax.vmap(jax.jacfwd(proj1, argnums=(0, 1)))(intr, p_c)
+    raw = prob.obs_uv - pred
+    r = jnp.clip(raw, -RESIDUAL_CLIP, RESIDUAL_CLIP)
+    inside = (jnp.abs(raw) < RESIDUAL_CLIP).astype(r.dtype)[..., None]
+    Jproj = Jproj * inside
+    Jc = jnp.concatenate(
+        [Jproj, -jnp.einsum("oij,ojk->oik", Jproj, lie.hat(p_c))], axis=-1)
+    Jp = -jnp.einsum("oij,ojk->oik", Jproj, Rg)
+    Ji = -Ji_p * inside
+    return r, Jc, Jp, Ji
 
 
 def _normal_equations_intr(cam_name, prob: BAProblem, poses, points, intr2,
@@ -193,10 +240,15 @@ def _normal_equations_intr(cam_name, prob: BAProblem, poses, points, intr2,
     bc_o = jnp.einsum("oia,oi->oa", Jc, r)
     bp_o = jnp.einsum("oia,oi->oa", Jp, r)
 
-    Hcc = jax.ops.segment_sum(Hcc_o, prob.obs_cam, num_segments=K)
-    Hpp = jax.ops.segment_sum(Hpp_o, prob.obs_point, num_segments=L)
-    bc = jax.ops.segment_sum(bc_o, prob.obs_cam, num_segments=K)
-    bp = jax.ops.segment_sum(bp_o, prob.obs_point, num_segments=L)
+    O_ = r.shape[0]
+    cam_pack = jax.ops.segment_sum(
+        jnp.concatenate([Hcc_o.reshape(O_, 36), bc_o], axis=1),
+        prob.obs_cam, num_segments=K)
+    Hcc, bc = cam_pack[:, :36].reshape(K, 6, 6), cam_pack[:, 36:]
+    pt_pack = jax.ops.segment_sum(
+        jnp.concatenate([Hpp_o.reshape(O_, 9), bp_o], axis=1),
+        prob.obs_point, num_segments=L)
+    Hpp, bp = pt_pack[:, :9].reshape(L, 3, 3), pt_pack[:, 9:]
     pair_id = prob.obs_cam * L + prob.obs_point
     U = jax.ops.segment_sum(W_o, pair_id, num_segments=K * L)
     U = U.reshape(K, L, 6, 3).transpose(0, 2, 1, 3)
@@ -230,7 +282,8 @@ def _schur_solve_intr(Hcc, Hpp, U, bc, bp, Hii, bi, Hci, Upi,
     Hpp_inv = jnp.where(point_valid[:, None, None], Hpp_inv, 0.0)
 
     T1 = jnp.einsum("kalb,lbc->kalc", U, Hpp_inv)           # [K,6,L,3]
-    S_off = jnp.einsum("kalb,mclb->kacm", T1, U).transpose(0, 1, 3, 2)
+    S_off = (T1.reshape(6 * K, 3 * L)
+             @ U.reshape(6 * K, 3 * L).T).reshape(K, 6, K, 6)
     S = -S_off
     S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc + lam * eye6)
 
@@ -287,9 +340,11 @@ def _schur_solve(Hcc, Hpp, U, bc, bp, pose_fixed, point_valid, lam):
 
     # T1 = U * Hpp^-1  -> [K, 6, L, 3]
     T1 = jnp.einsum("kalb,lbc->kalc", U, Hpp_inv)
-    # S = Hcc - T1 U^T (as dense [K,6,K,6])
-    S_off = jnp.einsum("kalb,mclb->kacm", T1, U)  # [K,6,6,K] -> fix order
-    S_off = S_off.transpose(0, 1, 3, 2)           # [K, 6, K, 6]
+    # S = Hcc - T1 U^T: the (K,6)x(K,6) contraction over (L,3) flattens to
+    # ONE [6K, 3L] @ [3L, 6K] matmul (the [.., L, 3] axes are contiguous),
+    # which the MXU handles far better than the 4D einsum
+    S_off = (T1.reshape(6 * K, 3 * L)
+             @ U.reshape(6 * K, 3 * L).T).reshape(K, 6, K, 6)
     S = -S_off
     S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc + lam * eye6)
     S = S.reshape(6 * K, 6 * K)
@@ -358,11 +413,7 @@ def solve_ba_schur(
     """
 
     def cost_of(poses, points):
-        def one(cam_i, pt_i, uv):
-            return _project_obs(cam_name, prob.intr[cam_i], poses[cam_i],
-                                points[pt_i], uv)
-
-        r = jax.vmap(one)(prob.obs_cam, prob.obs_point, prob.obs_uv)
+        r = _residuals(cam_name, prob, poses, points)
         return _robust_cost(r, prob.obs_valid, huber)
 
     # LM loop as lax.while_loop with Ceres-style function tolerance: runs
@@ -450,11 +501,11 @@ def solve_ba_schur_intrinsics(
     intr2_0 = jnp.stack([prob.intr[0], prob.intr[1]])
 
     def cost_of(poses, points, intr2):
-        def one(cam_i, pt_i, uv):
-            return _project_obs(cam_name, intr2[cam_i % 2], poses[cam_i],
-                                points[pt_i], uv)
-
-        r = jax.vmap(one)(prob.obs_cam, prob.obs_point, prob.obs_uv)
+        p_c, _, _ = _obs_p_c(prob, poses, points)
+        intr = intr2[prob.obs_cam % 2]
+        pred = jax.vmap(lambda i, p: cam_models.project(cam_name, i, p))(
+            intr, p_c)
+        r = jnp.clip(prob.obs_uv - pred, -RESIDUAL_CLIP, RESIDUAL_CLIP)
         return _robust_cost(r, prob.obs_valid, huber)
 
     ftol = 1e-6
