@@ -12,7 +12,18 @@ step with no per-frame host round trips:
   vector; ``lax.cond(any(take_kf), ...)`` OUTSIDE the vmap skips the
   keyframe work entirely on frames where no sequence needs it (a cond
   under vmap would degenerate to executing both branches);
-- inside the keyframe branch every sequence runs the (enabled-masked)
+- single-chip (no mesh), the keyframe branch is COMPACTED to one
+  sequence per frame: the round-robin-selected requester is gathered out
+  of the batch, its right image alone goes through feature extraction +
+  stereo matching + insert + evict/cull at single-sequence cost, and the
+  result scatters back. Pending requests stay latched in ``take_kf``, so
+  with S staggered sequences the branch drains ~1 request/frame instead
+  of paying the S-fold vmapped extraction whenever any sequence fires —
+  extraction is the dominant keyframe cost (stage table, ROUND3_NOTES).
+  Under a mesh the vmapped all-sequence branch is kept: each device
+  inserts its own resident sequence in parallel, and a one-sequence
+  gather would serialize the mesh instead;
+- in the vmapped (mesh) branch every sequence runs the (enabled-masked)
   insert + eviction + culling — but NOT the windowed BA;
 - the windowed BA is DECOUPLED from the lockstep: inserting a keyframe
   latches a per-sequence ``ba_pending`` flag, and each frame solves the
@@ -60,6 +71,7 @@ class MultiSeqState(NamedTuple):
     last_kf_slot: jnp.ndarray  # [S] int32
     ba_pending: jnp.ndarray   # [S] bool — keyframed, window BA not yet run
     ba_cursor: jnp.ndarray    # [] int32 round-robin fairness cursor
+    kf_cursor: jnp.ndarray    # [] int32 round-robin cursor (compact inserts)
     frame: jnp.ndarray        # [] int32
     key: jnp.ndarray
     intr0: jnp.ndarray        # [8]
@@ -71,7 +83,7 @@ class MultiSeqState(NamedTuple):
 
 
 def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
-               pnp_threshold: float, S: int):
+               pnp_threshold: float, S: int, compact_inserts: bool):
     track1 = functools.partial(
         tracking.track_frame,
         cam_name=cam_name, num_features=cfg.num_features,
@@ -99,23 +111,75 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
         pose = jnp.where(ok[:, None], res.T_w_c, state.pose)
         K = state.kf.frame_id.shape[1]
 
-        # batching gate: fire the (all-sequence) keyframe branch only on
-        # period boundaries; pending requests stay latched in take_kf.
         # A sequence whose windowed BA hasn't run yet may not take another
         # keyframe (!opt_running gate, slam.cpp:1374-1377).
-        period = max(int(cfg.multiseq_kf_period), 1)
-        due = (state.frame % period) == 0
         eligible = state.take_kf & ~state.ba_pending
-        fire = due & jnp.any(eligible)
-        inserted = eligible & fire
+        if compact_inserts:
+            # single-chip: drain ONE pending request per frame at
+            # single-sequence cost (gather -> extract/stereo/insert ->
+            # scatter); the S-fold vmapped extraction was the dominant
+            # batched cost (ROUND3_NOTES gap #1)
+            fire = jnp.any(eligible)
+            S_ids = jnp.arange(S)
+            prio = jnp.where(eligible, (S_ids - state.kf_cursor) % S, S + 1)
+            sel = jnp.argmin(prio).astype(jnp.int32)
+            inserted = (S_ids == sel) & fire
+        else:
+            # mesh: every device inserts its own resident sequence in
+            # parallel; batch the branch on period boundaries to amortize
+            period = max(int(cfg.multiseq_kf_period), 1)
+            due = (state.frame % period) == 0
+            fire = due & jnp.any(eligible)
+            inserted = eligible & fire
+
+        stereo1 = functools.partial(
+            kf_mod.stereo_match, cam_name=cam_name,
+            threshold=cfg.match_max_dist, ratio=cfg.match_next_best,
+            epipolar_threshold=cfg.epipolar_error_threshold)
+
+        def evict1(kf1, lm1):
+            act = kf1.valid & kf1.active
+            fid = jnp.where(act, kf1.frame_id, -1)
+            keep_n = min(cfg.max_num_kfs, K)
+            kth = lax.top_k(fid, keep_n)[0][keep_n - 1]
+            return kf_mod.deactivate_keyframes(kf1, lm1, act & (fid < kth))
+
+        def cull1(kf1, lm1):
+            pressure = int(cfg.lm_cull_pressure * lm1.valid.shape[0])
+
+            def do(a):
+                k3, l3, _ = kf_mod.cull_landmarks(
+                    a[0], a[1], min_lifetime_obs=cfg.lm_cull_min_obs)
+                return k3, l3
+
+            return lax.cond(jnp.sum(lm1.valid) >= pressure, do,
+                            lambda a: a, (kf1, lm1))
+
+        def kf_branch_compact(op):
+            kf_b, lm_b = op
+            kf1 = jax.tree.map(lambda x: x[sel], kf_b)
+            lm1 = jax.tree.map(lambda x: x[sel], lm_b)
+            feats_l = jax.tree.map(lambda x: x[sel], res.feats)
+            feats_r = extract1(imgs_r[sel])
+            sj, sinl = stereo1(feats_l, feats_r, state.T_0_1, state.intr0,
+                               state.intr1)
+            out = kf_mod.insert_keyframe(
+                kf1, lm1, state.frame, state.last_kf_slot[sel], pose[sel],
+                state.T_0_1, feats_l, feats_r, sj, sinl,
+                res.match_lm[sel], res.inlier[sel], state.intr0,
+                state.intr1, cam_name=cam_name, enabled=True)
+            kf2, lm2 = evict1(out.kf, out.lm)
+            if cfg.enable_lm_culling:
+                kf2, lm2 = cull1(kf2, lm2)
+            kf_c = jax.tree.map(lambda X, x: X.at[sel].set(x), kf_b, kf2)
+            lm_c = jax.tree.map(lambda X, x: X.at[sel].set(x), lm_b, lm2)
+            slot1 = jnp.where(out.slot < K, out.slot,
+                              state.last_kf_slot[sel]).astype(jnp.int32)
+            return kf_c, lm_c, pose, state.last_kf_slot.at[sel].set(slot1)
 
         def kf_branch(op):
             kf, lm = op
             feats_r = jax.vmap(extract1)(imgs_r)
-            stereo1 = functools.partial(
-                kf_mod.stereo_match, cam_name=cam_name,
-                threshold=cfg.match_max_dist, ratio=cfg.match_next_best,
-                epipolar_threshold=cfg.epipolar_error_threshold)
             sj, sinl = jax.vmap(stereo1, in_axes=(0, 0, None, None, None))(
                 res.feats, feats_r, state.T_0_1, state.intr0, state.intr1)
 
@@ -130,28 +194,8 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
                 kf, lm, state.last_kf_slot, pose, res.feats, feats_r,
                 sj, sinl, res.match_lm, res.inlier, inserted)
 
-            def evict1(kf1, lm1):
-                act = kf1.valid & kf1.active
-                fid = jnp.where(act, kf1.frame_id, -1)
-                keep_n = min(cfg.max_num_kfs, K)
-                kth = lax.top_k(fid, keep_n)[0][keep_n - 1]
-                return kf_mod.deactivate_keyframes(kf1, lm1,
-                                                   act & (fid < kth))
-
             kf2, lm2 = jax.vmap(evict1)(out.kf, out.lm)
-
             if cfg.enable_lm_culling:
-                pressure = int(cfg.lm_cull_pressure * lm2.valid.shape[1])
-
-                def cull1(kf1, lm1):
-                    def do(a):
-                        k3, l3, _ = kf_mod.cull_landmarks(
-                            a[0], a[1], min_lifetime_obs=cfg.lm_cull_min_obs)
-                        return k3, l3
-
-                    return lax.cond(jnp.sum(lm1.valid) >= pressure, do,
-                                    lambda a: a, (kf1, lm1))
-
                 kf2, lm2 = jax.vmap(cull1)(kf2, lm2)
 
             in_cap = out.slot < K
@@ -165,7 +209,12 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             return kf, lm, pose, state.last_kf_slot
 
         kf2, lm2, pose2, last_slot = lax.cond(
-            fire, kf_branch, tr_branch, (state.kf, state.lm))
+            fire, kf_branch_compact if compact_inserts else kf_branch,
+            tr_branch, (state.kf, state.lm))
+
+        kf_cursor = (jnp.where(fire, sel + 1,
+                               state.kf_cursor).astype(jnp.int32)
+                     if compact_inserts else state.kf_cursor)
 
         # --- decoupled windowed BA: at most ONE sequence per frame ---
         ba_pending = state.ba_pending | inserted
@@ -213,7 +262,8 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
         return state._replace(
             kf=kf3, lm=lm3, pose=pose2, last_pose=pose2, vel=vel,
             take_kf=take_next, last_kf_slot=last_slot,
-            ba_pending=ba_pending2, ba_cursor=cursor2, frame=f + 1, key=key,
+            ba_pending=ba_pending2, ba_cursor=cursor2, kf_cursor=kf_cursor,
+            frame=f + 1, key=key,
             traj=state.traj.at[:, f].set(pose2, mode="drop"),
             log_inliers=state.log_inliers.at[:, f].set(n_inl, mode="drop"),
             log_kf=state.log_kf.at[:, f].set(inserted, mode="drop"),
@@ -238,7 +288,8 @@ class MultiSeqVO:
         self.max_frames = max_frames
         pnp_thr = 1.0 - math.cos(math.atan(cfg.pnp_inlier_thresh_px / 500.0))
         self._step = _make_step(cfg, self.cam_name, calib.width,
-                                calib.height, pnp_thr, num_sequences)
+                                calib.height, pnp_thr, num_sequences,
+                                compact_inserts=mesh is None)
         self._img_sharding = None
         self.reset()
 
@@ -266,6 +317,7 @@ class MultiSeqVO:
             last_kf_slot=jnp.full((S,), -1, jnp.int32),
             ba_pending=jnp.zeros((S,), bool),
             ba_cursor=jnp.asarray(0, jnp.int32),
+            kf_cursor=jnp.asarray(0, jnp.int32),
             frame=jnp.asarray(0, jnp.int32),
             key=jax.random.PRNGKey(cfg.seed),
             intr0=intr0, intr1=intr1,
