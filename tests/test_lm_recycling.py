@@ -136,7 +136,8 @@ def test_strongly_observed_landmarks_survive_cull():
 
     # evict everything -> all landmarks dead (no windowed obs)
     mask = np.ones(K_CAP, bool)
-    kf, lm = kf_mod.deactivate_keyframes(kf, lm, jnp.asarray(mask))
+    kf, lm = kf_mod.deactivate_keyframes(kf, lm, jnp.asarray(mask),
+                                         max_evict=K_CAP)
     assert not bool(jnp.any(lm.active))
 
     kf, lm, n_culled = kf_mod.cull_landmarks(kf, lm, min_lifetime_obs=3)
@@ -154,7 +155,8 @@ def test_strongly_observed_landmarks_survive_cull():
     kf, lm = out.kf, out.lm
     weak_slots = np.asarray(out.kf.map_points[int(out.slot)])
     weak_slots = weak_slots[weak_slots >= 0]
-    kf, lm = kf_mod.deactivate_keyframes(kf, lm, jnp.asarray(mask))
+    kf, lm = kf_mod.deactivate_keyframes(kf, lm, jnp.asarray(mask),
+                                         max_evict=K_CAP)
     kf, lm, n_culled = kf_mod.cull_landmarks(kf, lm, min_lifetime_obs=3)
     assert int(n_culled) == len(weak_slots)
     assert not np.asarray(lm.valid)[weak_slots].any()

@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..frontend.features import Features
 from ..geometry import cameras as cam_models
@@ -176,9 +177,15 @@ def insert_keyframe(
     )
 
     # ------------- attach observations of tracked inliers -------------
-    # dedupe: keep one feature per landmark (scatter; duplicate rows collapse)
+    # dedupe: keep ONE canonical feature per landmark (the lowest-index
+    # match). Every consumer — obs/all_obs tables, descriptor bank,
+    # map_points, covisibility — uses the same canonical feature, so
+    # cull_landmarks can clear map_points cells by walking all_obs.
     feat_ids = jnp.arange(N, dtype=jnp.int32)
-    tracked = lm_inlier & (match_lm >= 0) & enabled
+    matched = lm_inlier & (match_lm >= 0) & enabled
+    first_feat = jnp.full((Lmax + 1,), N, jnp.int32).at[
+        jnp.where(matched, match_lm, Lmax)].min(feat_ids, mode="drop")
+    tracked = matched & (feat_ids == first_feat[jnp.clip(match_lm, 0)])
     rows = jnp.where(tracked, match_lm, 0)
 
     lm_obs = _scatter_obs(lm.obs_kf, lm.obs_cam, lm.obs_feat,
@@ -259,6 +266,9 @@ def insert_keyframe(
         next_slot=jnp.maximum(lm.next_slot, hw).astype(jnp.int32))
 
     # ------------------- per-feature landmark ids -------------------
+    # canonical (see dedupe above): ONE map_points cell per landmark,
+    # always backed by an all_obs entry, so cull_landmarks' scatter-based
+    # clearing reaches every cell.
     mp = jnp.full((N,), -1, jnp.int32)
     mp = jnp.where(tracked, match_lm, mp)
     mp = jnp.where(m, new_slots, mp)
@@ -268,10 +278,6 @@ def insert_keyframe(
     # landmarks of this KF: their all_obs entries at left cams of other KFs
     lm_ids = jnp.where(mp >= 0, mp, 0)
     lm_mask = mp >= 0
-    # count each landmark once even if two features mapped to it
-    first_feat = jnp.full((Lmax + 1,), N, jnp.int32).at[
-        jnp.where(lm_mask, lm_ids, Lmax)].min(feat_ids, mode="drop")
-    lm_mask = lm_mask & (feat_ids == first_feat[lm_ids])
     akf = lm.all_kf[lm_ids]        # [N, M2]
     acam = lm.all_cam[lm_ids]
     contrib = (akf >= 0) & (acam == 0) & (akf != slot) & lm_mask[:, None]
@@ -285,25 +291,43 @@ def insert_keyframe(
                           num_new=num_new)
 
 
-@jax.jit
-def deactivate_keyframes(kf: KeyframeState, lm: LandmarkState, deact_mask):
+@functools.partial(jax.jit, static_argnames=("max_evict",))
+def deactivate_keyframes(kf: KeyframeState, lm: LandmarkState, deact_mask,
+                         max_evict: int = 16):
     """remove_old_keyframes (vo_utils.h:319-365) device part.
 
     deact_mask [K] bool: keyframes leaving the window. Their windowed
     observations are stripped; landmarks without remaining windowed obs are
     deactivated, others activated.
+
+    ``max_evict`` bounds how many keyframes can leave per call: the obs
+    strip compares obs_kf against the (up to max_evict) evicted slot ids
+    instead of gathering deact_mask at every obs cell — a [L*M]-index
+    gather from a small table costs ~14 ms on TPU vs ~1.5 ms for the
+    compare (see tools/profile_kf_branch.py). Window eviction slides by at
+    most one keyframe per insert, so 16 is generous; callers with
+    arbitrary-size masks pass max_evict >= K to get the exact gather.
     """
+    K = deact_mask.shape[0]
     kf = kf._replace(active=kf.active & ~deact_mask)
-    obs_gone = (lm.obs_kf >= 0) & deact_mask[jnp.clip(lm.obs_kf, 0)]
+    if max_evict >= K:
+        obs_gone = (lm.obs_kf >= 0) & deact_mask[jnp.clip(lm.obs_kf, 0)]
+    else:
+        ids = lax.top_k(
+            jnp.where(deact_mask, jnp.arange(K, dtype=jnp.int32), -1),
+            max_evict)[0]                       # [-1 padded]
+        obs_gone = (lm.obs_kf >= 0) & jnp.any(
+            lm.obs_kf[..., None] == ids, axis=-1)
     obs_kf = jnp.where(obs_gone, -1, lm.obs_kf)
     has_obs = jnp.any(obs_kf >= 0, axis=-1)
     lm = lm._replace(obs_kf=obs_kf, active=lm.valid & has_obs)
     return kf, lm
 
 
-@functools.partial(jax.jit, static_argnames=("min_lifetime_obs",))
+@functools.partial(jax.jit,
+                   static_argnames=("min_lifetime_obs", "max_cull"))
 def cull_landmarks(kf: KeyframeState, lm: LandmarkState,
-                   min_lifetime_obs: int = 3):
+                   min_lifetime_obs: int = 3, max_cull: int = 4096):
     """Free landmark slots of weakly-observed dead landmarks.
 
     The reference's map is an unbounded hash map: landmarks that lose all
@@ -322,12 +346,33 @@ def cull_landmarks(kf: KeyframeState, lm: LandmarkState,
     Every keyframe map_points reference to a culled slot is cleared so a
     recycled slot can never alias stale references.
 
+    ``max_cull`` bounds the landmarks freed per call (overflow waits for
+    the next cull — pressure-triggered, so it fires again immediately):
+    the keyframe map_points references are cleared by SCATTERING through
+    the dead landmarks' own lifetime-obs tables — which record exactly the
+    (kf, feat) cells pointing at them (insert_keyframe keeps map_points
+    canonical: one cell per landmark, always backed by an all_obs entry,
+    and a cullable landmark has < min_lifetime_obs <= M2 entries so none
+    were dropped) — instead of gathering `dead` at all K*N map_points
+    cells (~14 ms on TPU; the scatter is ~2 ms, tools/profile_kf_branch).
+
     Returns (kf, lm, num_culled).
     """
     nobs = jnp.sum((lm.all_kf >= 0) & (lm.all_cam == 0), axis=-1)
-    dead = lm.valid & ~lm.active & (nobs < min_lifetime_obs)
-    mp = kf.map_points
-    mp = jnp.where((mp >= 0) & dead[jnp.clip(mp, 0)], -1, mp)
+    want_dead = lm.valid & ~lm.active & (nobs < min_lifetime_obs)
+    dead_ids, dead_ok = compact.compact_indices(want_dead, max_cull)
+    L = lm.pos.shape[0]
+    rows = jnp.clip(dead_ids, 0, L - 1)
+    # the exact dead set this call acts on (capped at max_cull)
+    dead = jnp.zeros((L,), bool).at[
+        jnp.where(dead_ok, dead_ids, L)].set(True, mode="drop")
+    K = kf.frame_id.shape[0]
+    akf = lm.all_kf[rows]                       # [C, M2]
+    acam = lm.all_cam[rows]
+    afeat = lm.all_feat[rows]
+    wr = dead_ok[:, None] & (akf >= 0) & (acam == 0)
+    mp = kf.map_points.at[
+        jnp.where(wr, akf, K), jnp.where(wr, afeat, 0)].set(-1, mode="drop")
     kf = kf._replace(map_points=mp)
     lm = lm._replace(
         valid=lm.valid & ~dead,
