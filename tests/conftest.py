@@ -11,6 +11,11 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# A dead/wedged accelerator tunnel leaves the axon plugin's retry threads
+# wedging plain `import jax` even under JAX_PLATFORMS=cpu (ROUND1_NOTES
+# incident; re-confirmed round 3). Tests never touch the tunnel — scrub the
+# pool address so the plugin cannot dial it.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

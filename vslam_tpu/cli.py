@@ -24,6 +24,43 @@ import time
 import numpy as np
 
 
+def _make_tuner(path: str):
+    """Poll a JSON control file and apply changed params to the driver.
+
+    Returns a callable; each invocation re-reads the file if its mtime
+    changed and pushes new {param: value} entries through set_param.
+    """
+    import os
+
+    state = {"mtime": 0.0, "vals": {}}
+
+    def poll(target):
+        if not path:
+            return
+        try:
+            m = os.stat(path).st_mtime
+        except OSError:
+            return
+        if m == state["mtime"]:
+            return
+        state["mtime"] = m
+        try:
+            with open(path) as f:
+                vals = json.load(f)
+        except (ValueError, OSError):
+            return  # mid-write or malformed: retry next poll
+        for k, v in vals.items():
+            if state["vals"].get(k) != v:
+                try:
+                    target.set_param(k, v)
+                    print(f"[tune] {k} = {v}", file=sys.stderr)
+                except (ValueError, AttributeError) as e:
+                    print(f"[tune] rejected {k}: {e}", file=sys.stderr)
+        state["vals"] = vals
+
+    return poll
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="vslam_tpu stereo SLAM")
     p.add_argument("--dataset-path", required=True)
@@ -45,8 +82,14 @@ def main(argv=None):
                    choices=["slam", "streaming"],
                    help="'slam' = faithful per-frame driver (reloc + loop "
                    "closure, reference semantics); 'streaming' = sync-free "
-                   "fused-step driver (max throughput; loop closure needs "
-                   "--voc-path, relocalization unsupported)")
+                   "fused-step driver (max throughput; loop closure and "
+                   "relocalization need --voc-path)")
+    p.add_argument("--tune-file", default="", help="JSON file of "
+                   "{param: value} polled during the run; changed values "
+                   "are applied live via set_param — the headless "
+                   "equivalent of the reference's pangolin::Var panel "
+                   "(slam.cpp:223-310). Device-tunable gates apply with "
+                   "zero recompilation.")
     args = p.parse_args(argv)
 
     if args.driver == "streaming":
@@ -84,9 +127,12 @@ def main(argv=None):
 
     metrics_f = open(args.metrics, "w") if args.metrics else None
     pf = euroc.Prefetcher(seq.image_paths[:n], depth=8, workers=2)
+    tune_poll = _make_tuner(args.tune_file)
     t0 = time.perf_counter()
     with profiling.trace(args.trace or None):
         for i in range(n):
+            if i % 25 == 0:
+                tune_poll(slam)
             img_l, img_r = pf.get(i)
             t_frame = time.perf_counter()
             info = slam.process_frame(img_l, img_r)
@@ -156,7 +202,8 @@ def _main_streaming(args):
     from .pipeline.streaming import StreamingSLAM, StreamingVO
 
     cfg = SlamConfig.from_json(args.config) if args.config else SlamConfig()
-    cfg.enable_relocalization = False
+    if args.no_reloc or not args.voc_path:
+        cfg.enable_relocalization = False
     if args.no_loop or not args.voc_path:
         cfg.enable_loop_closure = False
 
@@ -167,7 +214,7 @@ def _main_streaming(args):
     pf = euroc.Prefetcher(seq.image_paths[:n], depth=16, workers=3)
     frames = [pf.get(i) for i in range(n)]
 
-    if cfg.enable_loop_closure:
+    if cfg.enable_loop_closure or cfg.enable_relocalization:
         from .loop import vocabulary as vocab_mod
 
         voc = vocab_mod.load_dbow2_text(args.voc_path)
@@ -178,9 +225,12 @@ def _main_streaming(args):
 
     from .utils import profiling
 
+    tune_poll = _make_tuner(args.tune_file)
     t0 = time.perf_counter()
     with profiling.trace(args.trace or None):
-        slam.run(frames)
+        for lo in range(0, len(frames), 64):
+            tune_poll(slam)
+            slam.run(frames[lo:lo + 64])
         jax.block_until_ready(slam.state.frame)
     elapsed = time.perf_counter() - t0
     print(f"Processed {n} frames in {elapsed:.1f}s ({n / elapsed:.1f} fps, "

@@ -150,6 +150,10 @@ class SlamConfig:
     # functional analogue of the reference's debug NaN-poisoned Eigen)
     debug_checks: bool = False
 
+    def tune_vector(self):
+        """Initial values of the device-tunable parameters, registry order."""
+        return [float(getattr(self, n)) for n in DEVICE_TUNABLE]
+
     @classmethod
     def from_json(cls, path: str) -> "SlamConfig":
         with open(path) as f:
@@ -160,3 +164,51 @@ class SlamConfig:
     def to_json(self, path: str) -> None:
         with open(path, "w") as f:
             json.dump(dataclasses.asdict(self), f, indent=2)
+
+
+# --------------------------------------------------------------------------
+# Live-tunable parameters (the reference exposes ~40 pangolin::Var values
+# mutable DURING a run, slam.cpp:223-310). Three tiers here:
+#
+# DEVICE_TUNABLE — gate/threshold scalars consumed INSIDE the fused jitted
+#   step. They are carried in device state as a float32 vector (traced
+#   values, not Python constants), so a driver's set_param() changes them
+#   mid-run with ZERO recompilation — the streaming analogue of dragging a
+#   Pangolin slider.
+#
+# HOST_TUNABLE — parameters read from the config object per call on the
+#   host side (keyframe orchestration, loop-closure poll, relocalization).
+#   set_param() mutates the config field; the next call sees it.
+#
+# Everything else (capacities, feature counts, octaves, window shapes) is
+# STATIC: it determines compiled buffer shapes and requires a driver
+# restart — the honest TPU equivalent of the reference's buffer-size
+# rebuilds.
+# --------------------------------------------------------------------------
+DEVICE_TUNABLE = (
+    "match_max_dist",            # Hamming gate (keypoints.h threshold=70)
+    "match_next_best",           # second-best ratio (1.2)
+    "match_max_dist_2d",         # guided-match pixel gate (20 px)
+    "cam_z_threshold",           # min landmark depth (0.1 m)
+    "quality_level",             # detector response fraction
+    "pnp_inlier_thresh_px",      # RANSAC reprojection gate (3 px)
+    "ransac_min_matches",        # PnP minimum match count
+    "new_kf_min_inliers",        # keyframe trigger (slam.cpp:1374)
+    "ba_huber_px",               # window-BA robust width (1 px)
+    "vel_decay_factor",
+    "vel_decay_inlier_floor",
+    "epipolar_error_threshold",  # stereo inlier gate (slam.cpp:1148)
+)
+TUNE_INDEX = {n: i for i, n in enumerate(DEVICE_TUNABLE)}
+
+HOST_TUNABLE = frozenset({
+    "motion_threshold", "track_max_retries", "num_cov_threshold",
+    "num_ess_threshold", "num_consistency", "loop_closing_time_threshold",
+    "use_sim3", "fixed_current_kf", "sim3_solver", "ba_max_iters",
+    "reloc_max_candidates", "reloc_lost_frames", "reloc_min_features",
+    "enable_loop_closure", "enable_gba_after_loop",
+    "enable_loop_verification", "loop_verify_min_inliers",
+    "loop_verify_min_ratio", "loop_verify_px", "loop_verify_min_gain",
+    "loop_cooldown_frames", "lm_cull_min_obs", "lm_cull_pressure",
+    "deterministic_async", "suppress_duplicate_landmarks",
+})

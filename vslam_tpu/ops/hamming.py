@@ -15,8 +15,6 @@ the matrix, exactly mirroring the reference's accept/reject rules.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -94,9 +92,9 @@ def match_table(dist, threshold: int = 70, ratio: float = 1.2):
     return jnp.where(accepted, j, -1), accepted
 
 
-@functools.partial(jax.jit, static_argnames=("threshold",))
+@jax.jit
 def match_descriptors(bits_a, bits_b, valid_a, valid_b,
-                      threshold: int = 70, ratio: float = 1.2):
+                      threshold=70, ratio: float = 1.2):
     """End-to-end matcher: mutual ratio-tested matches.
 
     On TPU uses the fused Pallas distance+top2 kernel (no [N, M] matrix in

@@ -48,7 +48,7 @@ def essential_from_pose(T_0_1):
     return lie.hat(t) @ R
 
 
-@functools.partial(jax.jit, static_argnames=("cam_name", "threshold"))
+@functools.partial(jax.jit, static_argnames=("cam_name",))
 def stereo_match(
     feats_l: Features,
     feats_r: Features,
@@ -56,7 +56,7 @@ def stereo_match(
     intr0,
     intr1,
     cam_name: str = "ds",
-    threshold: int = 70,
+    threshold=70,
     ratio: float = 1.2,
     epipolar_threshold: float = 1e-3,
 ):

@@ -103,13 +103,22 @@ class SlamSystem:
         arguments apply instantly; fields that are compile-time constants
         (feature counts, capacities) trigger one recompile on the next
         frame — the moral equivalent of dragging a Pangolin slider.
-        The streaming driver compiles its config in (it exists to remove
-        per-frame host involvement); re-create it to re-tune.
+        (The streaming driver's equivalent is ``StreamingVO.set_param``,
+        which updates the tune vector carried in device state.)
         """
+        import math
+
         for k, v in kwargs.items():
             if not hasattr(self.cfg, k):
                 raise AttributeError(f"unknown config field: {k}")
             setattr(self.cfg, k, v)
+            if k == "pnp_inlier_thresh_px":
+                self.pnp_threshold = 1.0 - math.cos(
+                    math.atan(float(v) / 500.0))
+
+    def set_param(self, name: str, value) -> None:
+        """Single-parameter form, API-symmetric with StreamingVO."""
+        self.set_params(**{name: value})
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)

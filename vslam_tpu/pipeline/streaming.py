@@ -81,11 +81,14 @@ class StreamState(NamedTuple):
     cur_bits: jnp.ndarray = None        # [N, 256] uint8
     cur_corners: jnp.ndarray = None     # [N, 2] float32
     cur_valid: jnp.ndarray = None       # [N] bool
+    # live-tunable gate scalars (config.DEVICE_TUNABLE order): traced
+    # values, so set_param() changes them mid-run with zero recompiles —
+    # the reference's pangolin::Var sliders (slam.cpp:223-310)
+    tune: jnp.ndarray = None            # [len(DEVICE_TUNABLE)] float32
 
 
 def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
-               pnp_threshold: float, voc_depth: int = 0,
-               store_features: bool = False):
+               voc_depth: int = 0, store_features: bool = False):
     """Build the fused per-frame step as a donated jitted function.
 
     ``voc_depth > 0`` compiles the BoW branch in (tree descent + word /
@@ -102,6 +105,16 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
         img_l, img_r = imgs[0], imgs[1]
         key, k1 = jax.random.split(state.key)
 
+        from ..config import TUNE_INDEX
+
+        def P(name):
+            """Live-tunable gate scalar (device state, not a constant)."""
+            return state.tune[TUNE_INDEX[name]]
+
+        # RANSAC gate from the tunable pixel threshold (vo_utils.h:211-212)
+        pnp_thresh = 1.0 - jnp.cos(jnp.arctan(
+            P("pnp_inlier_thresh_px") / 500.0))
+
         # constant-velocity prediction for landmark projection (the
         # reference's track_camera projects from current*vel,
         # tracking.h:66-70); on fast rotation the previous pose alone
@@ -113,14 +126,14 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             cam_name=cam_name, num_features=cfg.num_features,
             inview_cap=cfg.max_inview_landmarks,
             width=width, height=height,
-            z_threshold=cfg.cam_z_threshold,
-            match_max_dist_2d=cfg.match_max_dist_2d,
-            match_threshold=cfg.match_max_dist,
-            match_ratio=cfg.match_next_best,
-            pnp_threshold=pnp_threshold,
+            z_threshold=P("cam_z_threshold"),
+            match_max_dist_2d=P("match_max_dist_2d"),
+            match_threshold=P("match_max_dist"),
+            match_ratio=P("match_next_best"),
+            pnp_threshold=pnp_thresh,
             num_hypotheses=cfg.ransac_hypotheses,
-            min_matches=cfg.ransac_min_matches,
-            quality_level=cfg.quality_level,
+            min_matches=P("ransac_min_matches"),
+            quality_level=P("quality_level"),
             min_distance=cfg.min_distance,
             rotate_features=cfg.rotate_features,
             num_octaves=cfg.num_octaves,
@@ -135,15 +148,15 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             kf, lm = op
             feats_r = extract_features(
                 img_r, num_features=cfg.num_features,
-                quality_level=cfg.quality_level,
+                quality_level=P("quality_level"),
                 min_distance=cfg.min_distance,
                 rotate_features=cfg.rotate_features,
                 num_octaves=cfg.num_octaves)
             stereo_j, stereo_inl = kf_mod.stereo_match(
                 res.feats, feats_r, state.T_0_1, state.intr0, state.intr1,
-                cam_name=cam_name, threshold=cfg.match_max_dist,
-                ratio=cfg.match_next_best,
-                epipolar_threshold=cfg.epipolar_error_threshold)
+                cam_name=cam_name, threshold=P("match_max_dist"),
+                ratio=P("match_next_best"),
+                epipolar_threshold=P("epipolar_error_threshold"))
             suppress = (res.had_candidate
                         if cfg.suppress_duplicate_landmarks else None)
             out = kf_mod.insert_keyframe(
@@ -183,7 +196,7 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
                 W2=cfg.window_cams // 2, Lw=cfg.window_points,
                 O=cfg.window_obs)
             poses, points, _ = ba.solve_ba_schur(
-                wp.prob, cam_name=cam_name, huber=cfg.ba_huber_px,
+                wp.prob, cam_name=cam_name, huber=P("ba_huber_px"),
                 max_iters=cfg.ba_max_iters)
             kf3, lm3 = ba_window.merge_window_result(kf2, lm2, wp, poses,
                                                      points)
@@ -233,9 +246,10 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
         vel = lie.se3_mul(lie.se3_inv(state.last_pose), pose2)
         n_inl = jnp.where(ok, res.num_inliers, 0)
         if cfg.enable_vel_decay:
-            weak = ~ok | (n_inl < cfg.vel_decay_inlier_floor)
+            weak = ~ok | (n_inl < P("vel_decay_inlier_floor"))
             vel = jnp.where(
-                weak, lie.se3_exp(cfg.vel_decay_factor * lie.se3_log(vel)),
+                weak,
+                lie.se3_exp(P("vel_decay_factor") * lie.se3_log(vel)),
                 vel)
 
         # next-frame keyframe decision, carried on device: a keyframe step
@@ -244,7 +258,7 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
         # by the lost-frame gate above stays armed until a good frame
         # consumes it.
         take_next = ~do_kf & (state.take_kf
-                              | (n_inl < cfg.new_kf_min_inliers))
+                              | (n_inl < P("new_kf_min_inliers")))
 
         feat_fields = {}
         if store_features:
@@ -290,11 +304,10 @@ class StreamingVO:
         self.max_frames = max_frames
         self.voc = vocabulary
         self.store_features = store_features
-        pnp_threshold = 1.0 - math.cos(
+        self.pnp_threshold = 1.0 - math.cos(
             math.atan(cfg.pnp_inlier_thresh_px / 500.0))
-        self.pnp_threshold = pnp_threshold
         self._step = _make_step(
-            cfg, self.cam_name, calib.width, calib.height, pnp_threshold,
+            cfg, self.cam_name, calib.width, calib.height,
             voc_depth=vocabulary.depth if vocabulary is not None else 0,
             store_features=store_features)
         self.reset()
@@ -342,8 +355,46 @@ class StreamingVO:
             log_kf=jnp.zeros((F,), bool),
             log_ok=jnp.zeros((F,), bool),
             log_slot=jnp.full((F,), -1, jnp.int32),
+            tune=jnp.asarray(cfg.tune_vector(), dt),
             **bow_fields,
         )
+        self._tune = np.asarray(cfg.tune_vector(), np.float32)
+
+    def set_param(self, name: str, value) -> None:
+        """Change a runtime parameter mid-run (pangolin::Var analogue).
+
+        DEVICE_TUNABLE names update the tune vector carried in device
+        state — the already-compiled stream consumes the new value from
+        the next frame on, with zero recompilation. HOST_TUNABLE names
+        mutate the config object, which the host-side orchestration
+        (keyframe poll, loop closure, relocalization) reads per call.
+        Anything else determines compiled buffer shapes and raises.
+
+        Caveat: a handful of HOST_TUNABLE values that the fused streaming
+        step also bakes in at build time (lm_cull_min_obs,
+        lm_cull_pressure, suppress_duplicate_landmarks, ba_max_iters)
+        only affect the host-driven paths here; the faithful SlamSystem
+        honors them everywhere.
+        """
+        from ..config import DEVICE_TUNABLE, HOST_TUNABLE, TUNE_INDEX
+
+        if name in TUNE_INDEX:
+            self._tune[TUNE_INDEX[name]] = float(value)
+            setattr(self.cfg, name, value)  # host-side readers see it too
+            if name == "pnp_inlier_thresh_px":
+                import math
+
+                self.pnp_threshold = 1.0 - math.cos(
+                    math.atan(float(value) / 500.0))
+            self.state = self.state._replace(
+                tune=jnp.asarray(self._tune))
+        elif name in HOST_TUNABLE:
+            setattr(self.cfg, name, value)
+        else:
+            raise ValueError(
+                f"{name!r} is not live-tunable (it sets compiled buffer "
+                f"shapes); rebuild the driver with a new SlamConfig. "
+                f"Tunable: {sorted(TUNE_INDEX) + sorted(HOST_TUNABLE)}")
 
     @staticmethod
     def _pack(img_l, img_r):
@@ -479,12 +530,18 @@ class StreamingSLAM(StreamingVO):
                          store_features=cfg.enable_relocalization)
         from ..loop.detector import LoopDetector
 
+        import collections
+
         self.poll_every = poll_every
         self.detector = LoopDetector(self.cfg.num_consistency)
         self.covis_host: dict = {}
         self.frame_of_slot: dict = {}
         self.loop_edges: list = []
         self.reloc_events: list = []   # (frame_polled, ok)
+        # why candidates did / didn't close, per gate (observability for
+        # threshold tuning; the reference's equivalent is watching the
+        # cout banners scroll by)
+        self.loop_stats = collections.Counter()
         self._polled_to = 0
         self._last_closure_frame = -(10 ** 9)
         self._pending_gba = None
@@ -637,12 +694,15 @@ class StreamingSLAM(StreamingVO):
         candidates = self.detector.detect(
             slot, bow, edges, self._graph_sets(), 2 * cfg.num_cov_threshold,
             essential_threshold=cfg.num_ess_threshold)
+        self.loop_stats["candidates"] += len(candidates)
         if self.loop_edges and frame_idx - self._last_closure_frame \
                 < cfg.loop_cooldown_frames:
+            self.loop_stats["cooldown"] += len(candidates)
             return  # cooldown: the same revisit keeps re-detecting
         for cand in candidates:
             gap = frame_idx - self.frame_of_slot.get(cand, frame_idx)
             if gap <= cfg.loop_closing_time_threshold:
+                self.loop_stats["too_recent"] += 1
                 continue
             ok, sim3 = closure_mod.compute_sim3(
                 self.state.kf, self.state.lm, slot, cand,
@@ -650,6 +710,7 @@ class StreamingSLAM(StreamingVO):
                 self.cam_name, self.pnp_threshold, self._next_key(),
                 num_hypotheses=cfg.ransac_hypotheses)
             if not ok:
+                self.loop_stats["sim3_failed"] += 1
                 continue
             if cfg.enable_loop_verification:
                 nbrs = sorted(self.covis_host.get(cand, {}))
@@ -663,6 +724,7 @@ class StreamingSLAM(StreamingVO):
                 if (n_inl < cfg.loop_verify_min_inliers
                         or n_inl < cfg.loop_verify_min_ratio
                         * max(n_vis, 1)):
+                    self.loop_stats["verify_failed"] += 1
                     continue
                 if cfg.loop_verify_min_gain > 0:
                     # identity-gain gate (see config): reject corrections
@@ -679,6 +741,7 @@ class StreamingSLAM(StreamingVO):
                         threshold=cfg.match_max_dist,
                         ratio=cfg.match_next_best)
                     if n_inl < cfg.loop_verify_min_gain * max(n_id, 1):
+                        self.loop_stats["no_gain"] += 1
                         continue
             if not cfg.use_sim3:
                 sim3 = lie.identity_pose()
@@ -704,6 +767,7 @@ class StreamingSLAM(StreamingVO):
                 cur_pose=lie.se3_mul(T_corr, self.state.cur_pose),
                 last_pose=lie.se3_mul(T_corr, self.state.last_pose))
             self.loop_edges.append((slot, cand))
+            self.loop_stats["closed"] += 1
             self._last_closure_frame = frame_idx
             if cfg.enable_gba_after_loop:
                 # async dispatch (the reference's global_ba_thread,
