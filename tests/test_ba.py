@@ -138,6 +138,51 @@ def test_ba_joint_intrinsics_recovery():
     assert np.all(err_cx < 1.5), np.asarray(intr2)[:, :3]
 
 
+def test_inv3x3_chol3x3_match_linalg():
+    key = jax.random.PRNGKey(11)
+    B = jax.random.normal(key, (64, 3, 3))
+    A = jnp.einsum("nab,ncb->nac", B, B) + 0.5 * jnp.eye(3)  # SPD batch
+    np.testing.assert_allclose(np.asarray(ba.inv3x3(A)),
+                               np.linalg.inv(np.asarray(A)),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ba.chol3x3(A)),
+                               np.linalg.cholesky(np.asarray(A)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_schur_obs_matches_densified_reference():
+    """The U-free per-observation Schur path (_schur_solve_obs, the
+    production TPU path) must produce the same LM step as the densified
+    reference implementation (_normal_equations + _schur_solve, kept as
+    the golden oracle)."""
+    prob, *_ = make_ba_problem(jax.random.PRNGKey(7), noise_px=0.4,
+                               perturb=0.03)
+    huber, lam = 2.0, 1e-3
+    Hcc, Hpp, U, bc, bp, _ = ba._normal_equations(
+        "pinhole", prob, prob.poses, prob.points, huber)
+    dc_ref, dp_ref = ba._schur_solve(
+        Hcc, Hpp, U, bc, bp, prob.pose_fixed, prob.point_valid, lam)
+
+    Hcc2, Hpp2, W_o, bc2, bp2 = ba._normal_equations_obs(
+        "pinhole", prob, prob.poses, prob.points, huber)
+    np.testing.assert_allclose(np.asarray(Hcc2), np.asarray(Hcc),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Hpp2), np.asarray(Hpp),
+                               rtol=1e-5, atol=1e-6)
+    dc, dp = ba._schur_solve_obs(
+        Hcc2, Hpp2, W_o, prob.obs_cam, prob.obs_point, bc2, bp2,
+        prob.pose_fixed, prob.point_valid, lam)
+    # the split-bf16 P contraction carries ~2^-16 relative error into S;
+    # the step direction agrees to ~1e-3 relative, plenty for LM (the
+    # accept test re-evaluates the true f32 cost)
+    scale = np.abs(np.asarray(dc_ref)).max()
+    np.testing.assert_allclose(np.asarray(dc), np.asarray(dc_ref),
+                               atol=2e-3 * scale)
+    pscale = np.abs(np.asarray(dp_ref)).max()
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref),
+                               atol=2e-3 * pscale)
+
+
 def test_e2e_ba_optimize_intrinsics_flag():
     """Pipeline smoke test for hidden.ba_opt_intrinsics: the window BA
     frees the intrinsics blocks and the merged values flow back into the

@@ -172,3 +172,23 @@ def test_match_landmarks_gate_and_ratio():
     # kp2 has no landmark within 20 px
     assert not bool(acc[2]) and not bool(had[2])
     assert bool(had[0]) and bool(had[1])
+
+
+def test_mxu_paths_match_gather_paths():
+    """The TPU contraction paths (one-hot patch gather, separable
+    descriptor sampling, moment matmul) are bit-identical to the plain
+    gather/take paths for integer-valued images — the suite runs on CPU,
+    so the MXU code is exercised here explicitly via use_mxu=True."""
+    rng = np.random.RandomState(7)
+    img = jnp.asarray(rng.randint(0, 256, (120, 160)).astype(np.float32))
+    corners = jnp.stack(
+        [jnp.asarray(rng.uniform(0, 160, 64).astype(np.float32)),
+         jnp.asarray(rng.uniform(0, 120, 64).astype(np.float32))], axis=-1)
+    p_mxu = describe.gather_patches(img, corners, use_mxu=True)
+    p_ref = describe.gather_patches(img, corners, use_mxu=False)
+    np.testing.assert_array_equal(np.asarray(p_mxu), np.asarray(p_ref))
+
+    angles = describe.compute_angles(p_ref)
+    b_mxu = describe.compute_descriptors(p_ref, angles, use_mxu=True)
+    b_ref = describe.compute_descriptors(p_ref, angles, use_mxu=False)
+    np.testing.assert_array_equal(np.asarray(b_mxu), np.asarray(b_ref))

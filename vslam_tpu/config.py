@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math as _math
 
 
 @dataclasses.dataclass
@@ -151,8 +152,15 @@ class SlamConfig:
     debug_checks: bool = False
 
     def tune_vector(self):
-        """Initial values of the device-tunable parameters, registry order."""
-        return [float(getattr(self, n)) for n in DEVICE_TUNABLE]
+        """Initial values of the device-tunable parameters, registry order.
+
+        Entries with a DEVICE_TUNE_TRANSFORM are stored pre-derived (f64
+        host math): deriving them in f32 inside the step is catastrophic
+        for cancellation-heavy expressions — 1-cos(atan(px/500)) loses
+        ~0.3% relative, enough to shift RANSAC inlier gating measurably.
+        """
+        return [DEVICE_TUNE_TRANSFORM.get(n, lambda v: v)(
+            float(getattr(self, n))) for n in DEVICE_TUNABLE]
 
     @classmethod
     def from_json(cls, path: str) -> "SlamConfig":
@@ -200,6 +208,16 @@ DEVICE_TUNABLE = (
     "epipolar_error_threshold",  # stereo inlier gate (slam.cpp:1148)
 )
 TUNE_INDEX = {n: i for i, n in enumerate(DEVICE_TUNABLE)}
+
+# Values stored in the tune vector PRE-DERIVED on the host (f64). The
+# user-facing set_param knob keeps the reference's units (pixels); the
+# vector carries what the step actually compares against. Deriving
+# 1-cos(atan(px/500)) in f32 on device cancels catastrophically (~0.3%
+# relative error), which measurably perturbs RANSAC inlier gating.
+DEVICE_TUNE_TRANSFORM = {
+    "pnp_inlier_thresh_px":
+        lambda px: 1.0 - _math.cos(_math.atan(px / 500.0)),
+}
 
 HOST_TUNABLE = frozenset({
     "motion_threshold", "track_max_retries", "num_cov_threshold",

@@ -42,17 +42,48 @@ PAT_A = jnp.asarray(PATTERN_A, dtype=jnp.float32)  # [256, 2] (x, y)
 PAT_B = jnp.asarray(PATTERN_B, dtype=jnp.float32)
 
 
-def gather_patches(img, corners, radius: int = PATCH_RADIUS):
+def gather_patches(img, corners, radius: int = PATCH_RADIUS,
+                   use_mxu: bool = None):
     """Gather square patches around integer corner locations.
 
     img [H, W] (any dtype), corners [K, 2] float (x, y) -> [K, 2r+1, 2r+1]
     float32. Out-of-range corners (e.g. the (-1,-1) invalid fill) are clamped;
     callers must rely on the validity mask.
+
+    On TPU the vmapped dynamic_slice lowers to a row-by-row gather that
+    dominates the whole frontend (~2.2 ms device for 1500x39x39 at 752x480);
+    the same selection as two one-hot bf16 contractions rides the MXU
+    (~0.3 ms) and is bit-exact for integer-valued images (products are
+    0 or the pixel value — integers <= 255 are exact in bf16's 8
+    significant bits; accumulation is f32 and each output sums exactly one
+    nonzero product). Every image in the pipeline is integer-valued: uint8
+    sources and the rounded pyramid levels (frontend/features._downsample2).
     """
     h, w = img.shape
     k = 2 * radius + 1
     cx = jnp.clip(corners[:, 0].astype(jnp.int32), radius, w - radius - 1)
     cy = jnp.clip(corners[:, 1].astype(jnp.int32), radius, h - radius - 1)
+    if use_mxu is None:
+        use_mxu = jax.default_backend() == "tpu"
+    if use_mxu:
+        n = corners.shape[0]
+        off = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
+        # rows[n, k, w]: one [n*k, h] @ [h, w] matmul selects the k rows
+        ih = jnp.arange(h, dtype=jnp.int32)
+        oh_r = ((cy[:, None] + off[None, :])[:, :, None]
+                == ih).astype(jnp.bfloat16)                 # [n, k, h]
+        rows = jax.lax.dot_general(
+            oh_r.reshape(n * k, h), img.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(n, k, w)
+        # patches[n, k, k]: batched [k, w] @ [w, k] column select
+        iw = jnp.arange(w, dtype=jnp.int32)
+        oh_c = ((cx[:, None] + off[None, :])[:, :, None]
+                == iw).astype(jnp.bfloat16)                 # [n, k, w]
+        return jax.lax.dot_general(
+            rows.astype(jnp.bfloat16), oh_c,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)             # [n, k, k]
 
     def one(cx_i, cy_i):
         return lax.dynamic_slice(img, (cy_i - radius, cx_i - radius), (k, k))
@@ -74,7 +105,7 @@ def compute_angles(patches, rotate_features: bool = True):
     return jnp.arctan2(m01, m10)
 
 
-def compute_descriptors(patches, angles):
+def compute_descriptors(patches, angles, use_mxu: bool = None):
     """Rotated BRIEF bits. patches [K, 39, 39], angles [K] -> bits [K, 256] uint8."""
     ca = jnp.cos(angles)[:, None]  # [K, 1]
     sa = jnp.sin(angles)[:, None]
@@ -91,21 +122,28 @@ def compute_descriptors(patches, angles):
     flat = patches.reshape(patches.shape[0], -1)  # [K, 39*39]
     ia = rotated_idx(PAT_A)
     ib = rotated_idx(PAT_B)
-    if jax.default_backend() == "tpu":
-        # per-row gathers lower poorly on TPU (~10 ms for 1500x256); the
-        # same sampling as a one-hot contraction rides the MXU and is
-        # bit-exact. The bit only needs sign(I(a) - I(b)), so ONE bf16
-        # contraction with the DIFFERENCE of the two one-hots replaces two
-        # f32 ones: products are 0 or +/-pixel (integers <= 255, exact in
-        # bf16's 8 significant bits) and accumulation is f32, so
-        # (diff < 0) == (va < vb) exactly — including the ia == ib
-        # coincidence case, where both give bit 0.
-        iota = jnp.arange(_PATCH_W * _PATCH_W, dtype=jnp.int32)
-        oh = ((ia[..., None] == iota).astype(jnp.bfloat16)
-              - (ib[..., None] == iota).astype(jnp.bfloat16))
-        diff = jnp.einsum("npk,nk->np", oh, flat.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
-        return (diff < 0).astype(jnp.uint8)
+    if use_mxu is None:
+        use_mxu = jax.default_backend() == "tpu"
+    if use_mxu:
+        # per-row gathers lower poorly on TPU (~10 ms for 1500x256), and a
+        # one-hot over the flattened 39*39 axis materializes [K, 256, 1521]
+        # (~1.3 ms elementwise-bound). Separable two-level sampling cuts the
+        # one-hot axes to 39 each: a column one-hot contracts the patch to
+        # the tap's row vector (a real batched MXU matmul, [39,39]@[39,256]
+        # per corner) and a row one-hot picks the element. Bit-exact for
+        # integer patches (products are 0 or the pixel value, <= 255 exact
+        # in bf16; each sum has exactly one nonzero term; accumulation f32).
+        def sample(idx):
+            r, c = idx // _PATCH_W, idx % _PATCH_W   # [K, 256]
+            steps = jnp.arange(_PATCH_W, dtype=jnp.int32)
+            oh_c = (c[..., None] == steps).astype(jnp.bfloat16)  # [K,256,39]
+            t = jax.lax.dot_general(                  # [K, 39(row), 256]
+                patches.astype(jnp.bfloat16), oh_c,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            oh_r = (r[..., None] == steps).astype(jnp.float32)
+            return jnp.einsum("nrp,npr->np", t, oh_r)
+        return (sample(ia) < sample(ib)).astype(jnp.uint8)
     va = jnp.take_along_axis(flat, ia, axis=1)
     vb = jnp.take_along_axis(flat, ib, axis=1)
     return (va < vb).astype(jnp.uint8)

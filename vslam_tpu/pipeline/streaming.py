@@ -111,9 +111,11 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             """Live-tunable gate scalar (device state, not a constant)."""
             return state.tune[TUNE_INDEX[name]]
 
-        # RANSAC gate from the tunable pixel threshold (vo_utils.h:211-212)
-        pnp_thresh = 1.0 - jnp.cos(jnp.arctan(
-            P("pnp_inlier_thresh_px") / 500.0))
+        # RANSAC gate (vo_utils.h:211-212). The tune vector carries the
+        # DERIVED 1-cos(atan(px/500)) threshold, pre-computed in f64 on the
+        # host (config.DEVICE_TUNE_TRANSFORM) — deriving it here in f32
+        # cancels catastrophically and shifts the inlier gate ~0.3%.
+        pnp_thresh = P("pnp_inlier_thresh_px")
 
         # constant-velocity prediction for landmark projection (the
         # reference's track_camera projects from current*vel,
@@ -376,16 +378,15 @@ class StreamingVO:
         only affect the host-driven paths here; the faithful SlamSystem
         honors them everywhere.
         """
-        from ..config import DEVICE_TUNABLE, HOST_TUNABLE, TUNE_INDEX
+        from ..config import (DEVICE_TUNABLE, DEVICE_TUNE_TRANSFORM,
+                              HOST_TUNABLE, TUNE_INDEX)
 
         if name in TUNE_INDEX:
-            self._tune[TUNE_INDEX[name]] = float(value)
+            xf = DEVICE_TUNE_TRANSFORM.get(name, lambda v: v)
+            self._tune[TUNE_INDEX[name]] = xf(float(value))
             setattr(self.cfg, name, value)  # host-side readers see it too
             if name == "pnp_inlier_thresh_px":
-                import math
-
-                self.pnp_threshold = 1.0 - math.cos(
-                    math.atan(float(value) / 500.0))
+                self.pnp_threshold = xf(float(value))
             self.state = self.state._replace(
                 tune=jnp.asarray(self._tune))
         elif name in HOST_TUNABLE:
@@ -704,11 +705,22 @@ class StreamingSLAM(StreamingVO):
             if gap <= cfg.loop_closing_time_threshold:
                 self.loop_stats["too_recent"] += 1
                 continue
-            ok, sim3 = closure_mod.compute_sim3(
-                self.state.kf, self.state.lm, slot, cand,
-                sorted(self.covis_host.get(cand, {})), self.state.intr0,
-                self.cam_name, self.pnp_threshold, self._next_key(),
-                num_hypotheses=cfg.ransac_hypotheses)
+            if cfg.sim3_solver == "horn":
+                # 3D-3D alignment of the drifted and old landmark clouds
+                # (sim3.h:48-141). On depth-uniform scenes (walls, the pano
+                # world) the PnP path has a near-exact lateral-translation /
+                # yaw ambiguity (delta_t ~= depth * delta_theta reprojects
+                # identically); the 3D-3D form stays well-conditioned.
+                ok, sim3, _scale = closure_mod.compute_sim3_horn(
+                    self.state.kf, self.state.lm, slot, cand,
+                    sorted(self.covis_host.get(cand, {})), self._next_key(),
+                    num_hypotheses=cfg.ransac_hypotheses)
+            else:
+                ok, sim3 = closure_mod.compute_sim3(
+                    self.state.kf, self.state.lm, slot, cand,
+                    sorted(self.covis_host.get(cand, {})), self.state.intr0,
+                    self.cam_name, self.pnp_threshold, self._next_key(),
+                    num_hypotheses=cfg.ransac_hypotheses)
             if not ok:
                 self.loop_stats["sim3_failed"] += 1
                 continue

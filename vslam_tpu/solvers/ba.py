@@ -128,6 +128,63 @@ def _obs_residual_jac(cam_name, prob: BAProblem, poses, points):
     return r, Jc, Jp
 
 
+def inv3x3(A):
+    """Batched closed-form 3x3 inverse (adjugate / det).
+
+    jnp.linalg.inv on a [N, 3, 3] batch lowers to a sequential LU on TPU —
+    measured 5.2 ms for N=4096 where this elementwise form is ~0.05 ms.
+    Singular inputs give inf/nan exactly like linalg.inv; callers mask.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    adj = jnp.stack([jnp.stack([A11, A12, A13], -1),
+                     jnp.stack([A21, A22, A23], -1),
+                     jnp.stack([A31, A32, A33], -1)], -2)
+    return adj / det[..., None, None]
+
+
+def chol3x3(A):
+    """Batched closed-form lower Cholesky of SPD 3x3 matrices.
+
+    Same motivation as inv3x3 (jnp.linalg.cholesky is a sequential
+    factorization, ~3 ms for a [4096, 3, 3] batch). Non-SPD inputs
+    produce nan, matching linalg.cholesky; callers guard.
+    """
+    a11, a21, a31 = A[..., 0, 0], A[..., 1, 0], A[..., 2, 0]
+    a22, a32, a33 = A[..., 1, 1], A[..., 2, 1], A[..., 2, 2]
+    l11 = jnp.sqrt(a11)
+    l21 = a21 / l11
+    l31 = a31 / l11
+    l22 = jnp.sqrt(a22 - l21 * l21)
+    l32 = (a32 - l31 * l21) / l22
+    l33 = jnp.sqrt(a33 - l31 * l31 - l32 * l32)
+    z = jnp.zeros_like(l11)
+    return jnp.stack([jnp.stack([l11, z, z], -1),
+                      jnp.stack([l21, l22, z], -1),
+                      jnp.stack([l31, l32, l33], -1)], -2)
+
+
+def _inv3x3_auto(A):
+    """inv3x3 on TPU (where batched linalg.inv lowers to a ~100x slower
+    sequential LU), jnp.linalg.inv elsewhere (bit-identical to the
+    historical CPU arithmetic, which several chaotic-world regression
+    tests pin)."""
+    if jax.default_backend() == "tpu":
+        return inv3x3(A)
+    return jnp.linalg.inv(A)
+
+
 def _huber_weights(r, huber: float):
     """Per-observation IRLS sqrt-weights for blockwise Huber on ||r||.
 
@@ -183,6 +240,130 @@ def _normal_equations(cam_name, prob: BAProblem, poses, points, huber):
     U = jax.ops.segment_sum(W_o, pair_id, num_segments=K * L)
     U = U.reshape(K, L, 6, 3).transpose(0, 2, 1, 3)  # [K, 6, L, 3]
     return Hcc, Hpp, U, bc, bp, r
+
+
+def _normal_equations_obs(cam_name, prob: BAProblem, poses, points, huber):
+    """Like _normal_equations but WITHOUT densifying the camera-point
+    coupling: returns the per-observation W_o [O, 6, 3] blocks instead of
+    U. The U densification is poison on TPU twice over — the [K*L]
+    segment_sum is a large-segment scatter, and the [K, 6, L, 3] layout
+    puts 3 in the (128-wide) lane dimension, a 42x physical blowup that
+    every downstream op re-reads. _schur_solve_obs consumes W_o directly.
+    """
+    K = poses.shape[0]
+    L = points.shape[0]
+    r, Jc, Jp = _obs_residual_jac(cam_name, prob, poses, points)
+    r, Jc, Jp = _sanitize(r), _sanitize(Jc), _sanitize(Jp)
+    sw = _huber_weights(r, huber) * prob.obs_valid.astype(r.dtype)
+    r = r * sw[:, None]
+    Jc = Jc * sw[:, None, None]
+    Jp = Jp * sw[:, None, None]
+
+    Hcc_o = jnp.einsum("oia,oib->oab", Jc, Jc)       # [O, 6, 6]
+    Hpp_o = jnp.einsum("oia,oib->oab", Jp, Jp)       # [O, 3, 3]
+    W_o = jnp.einsum("oia,oib->oab", Jc, Jp)         # [O, 6, 3]
+    bc_o = jnp.einsum("oia,oi->oa", Jc, r)           # [O, 6]
+    bp_o = jnp.einsum("oia,oi->oa", Jp, r)           # [O, 3]
+
+    O_ = r.shape[0]
+    cam_pack = jax.ops.segment_sum(
+        jnp.concatenate([Hcc_o.reshape(O_, 36), bc_o], axis=1),
+        prob.obs_cam, num_segments=K)
+    Hcc, bc = cam_pack[:, :36].reshape(K, 6, 6), cam_pack[:, 36:]
+    pt_pack = jax.ops.segment_sum(
+        jnp.concatenate([Hpp_o.reshape(O_, 9), bp_o], axis=1),
+        prob.obs_point, num_segments=L)
+    Hpp, bp = pt_pack[:, :9].reshape(L, 3, 3), pt_pack[:, 9:]
+    return Hcc, Hpp, W_o, bc, bp
+
+
+def _split_dot_f32(a, b_onehot):
+    """a [O, M] f32 contracted over O with an EXACTLY-bf16-representable
+    b [O, N] (here: a one-hot) -> [M, N] f32 on the MXU.
+
+    One bf16 pass truncates a to 8 mantissa bits; splitting a into
+    hi + lo bf16 parts recovers ~16 bits (error ~2^-16 relative) at two
+    1-pass matmuls — cheaper than Precision.HIGHEST's full cross terms,
+    and exact enough for an LM step direction (the accept test evaluates
+    the true f32 cost, so step-direction error only costs iterations).
+    """
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(a.dtype)).astype(jnp.bfloat16)
+    dims = (((0,), (0,)), ((), ()))
+    return (jax.lax.dot_general(a_hi, b_onehot, dims,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(a_lo, b_onehot, dims,
+                                  preferred_element_type=jnp.float32))
+
+
+def _schur_solve_obs(Hcc, Hpp, W_o, obs_cam, obs_point, bc, bp,
+                     pose_fixed, point_valid, lam):
+    """Schur-eliminated solve WITHOUT materializing U.
+
+    With at-most-one observation per (camera, landmark) pair (and exactly
+    correct even with duplicates, which simply sum), the reduced camera
+    system is
+
+        S = Hcc + lam*I - U C U^T,   C = (Hpp + lam*I)^-1 = G G^T
+
+    and P := U G satisfies  U C U^T = P P^T.  P [K, 6, 3, L] is built as
+    ONE one-hot MXU matmul over observations:
+
+        P[(k,a,c), l] = sum_o 1[cam_o = k] * (W_o G_l(o))[a,c] * 1[pt_o = l]
+
+    i.e. (V-by-camera placement, [O, K*18]) contracted with the landmark
+    one-hot [O, L]. No [K*L] scatter, no lane-padded [.., L, 3] tensor;
+    the landmark axis lands in the lane dimension throughout.
+    """
+    K = Hcc.shape[0]
+    L = Hpp.shape[0]
+    O_ = W_o.shape[0]
+    dtype = Hcc.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    Hpp_d = Hpp + (lam + 1e-8) * eye3
+    Hpp_d = jnp.where(point_valid[:, None, None], Hpp_d, eye3)
+    C = inv3x3(Hpp_d)
+    C = jnp.where(point_valid[:, None, None], C, 0.0)
+    # G: Cholesky of C (C is SPD where valid; zero rows elsewhere would NaN
+    # the factorization, so factor the guarded eye and mask through W_o=0)
+    G = chol3x3(jnp.where(point_valid[:, None, None], C, eye3))
+
+    V = jnp.einsum("oab,obc->oac", W_o, G[obs_point])       # [O, 6, 3]
+    ks = jnp.arange(K, dtype=jnp.int32)
+    VK = jnp.where((obs_cam[:, None] == ks)[:, :, None, None],
+                   V[:, None, :, :], 0.0)                    # [O, K, 6, 3]
+    El = (obs_point[:, None]
+          == jnp.arange(L, dtype=jnp.int32)).astype(jnp.bfloat16)
+    P = _split_dot_f32(VK.reshape(O_, K * 18), El)           # [K*18, L]
+    Pm = P.reshape(K * 6, 3 * L)
+
+    S = -jax.lax.dot_general(Pm, Pm, (((1,), (1,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32
+                             ).reshape(K, 6, K, 6).astype(dtype)
+    S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc + lam * eye6)
+    S = S.reshape(6 * K, 6 * K)
+
+    # rhs = -(bc - U C bp): per-observation, no densified U
+    t = jnp.einsum("lab,lb->la", C, bp)                      # [L, 3]
+    y = jnp.einsum("oab,ob->oa", W_o, t[obs_point])          # [O, 6]
+    u = jax.ops.segment_sum(y, obs_cam, num_segments=K)
+    rhs = -(bc - u).reshape(6 * K)
+
+    free = jnp.repeat(~pose_fixed, 6)
+    S = jnp.where(free[:, None] & free[None, :], S, 0.0)
+    S = S + jnp.diag(jnp.where(free, 0.0, 1.0))
+    rhs = jnp.where(free, rhs, 0.0)
+    delta_c = jnp.nan_to_num(jnp.linalg.solve(S, rhs)).reshape(K, 6)
+
+    # back-substitute: delta_p = C (-bp - U^T delta_c), again per-obs
+    w = jnp.einsum("oab,oa->ob", W_o, delta_c[obs_cam])      # [O, 3]
+    s_l = jax.ops.segment_sum(w, obs_point, num_segments=L)
+    delta_p = jnp.einsum("lab,lb->la", C, -bp - s_l)
+    delta_p = jnp.where(point_valid[:, None], delta_p, 0.0)
+    return delta_c, delta_p
 
 
 def _obs_residual_jac_intr(cam_name, prob: BAProblem, poses, points, intr2):
@@ -278,7 +459,7 @@ def _schur_solve_intr(Hcc, Hpp, U, bc, bp, Hii, bi, Hci, Upi,
 
     Hpp_d = Hpp + (lam + 1e-8) * eye3
     Hpp_d = jnp.where(point_valid[:, None, None], Hpp_d, eye3)
-    Hpp_inv = jnp.linalg.inv(Hpp_d)
+    Hpp_inv = _inv3x3_auto(Hpp_d)
     Hpp_inv = jnp.where(point_valid[:, None, None], Hpp_inv, 0.0)
 
     T1 = jnp.einsum("kalb,lbc->kalc", U, Hpp_inv)           # [K,6,L,3]
@@ -335,7 +516,7 @@ def _schur_solve(Hcc, Hpp, U, bc, bp, pose_fixed, point_valid, lam):
     Hpp_d = Hpp + (lam + 1e-8) * eye3
     # guard invalid points so the 3x3 inverses stay finite
     Hpp_d = jnp.where(point_valid[:, None, None], Hpp_d, eye3)
-    Hpp_inv = jnp.linalg.inv(Hpp_d)
+    Hpp_inv = _inv3x3_auto(Hpp_d)
     Hpp_inv = jnp.where(point_valid[:, None, None], Hpp_inv, 0.0)
 
     # T1 = U * Hpp^-1  -> [K, 6, L, 3]
@@ -427,11 +608,24 @@ def solve_ba_schur(
 
     gtol = 0.05  # relative gradient tolerance (see done_grad below)
 
+    # On TPU, densifying the camera-point coupling U is poison (large-
+    # segment scatter + a lane-padded [K, 6, L, 3] tensor); the U-free
+    # per-observation path rides the MXU instead, at ~1e-3 relative step-
+    # direction error from its split-bf16 contraction. On CPU there is no
+    # MXU to win and the densified path is both exact and faster — keep it
+    # (it is also the golden reference the obs path is tested against).
+    use_obs_path = jax.default_backend() == "tpu"
+
     def body(carry):
         poses, points, lam, nu, cost, it, done = carry
-        Hcc, Hpp, U, bc, bp, _ = _normal_equations(
-            cam_name, prob, poses, points, huber
-        )
+        if use_obs_path:
+            Hcc, Hpp, W_o, bc, bp = _normal_equations_obs(
+                cam_name, prob, poses, points, huber
+            )
+        else:
+            Hcc, Hpp, U, bc, bp, _ = _normal_equations(
+                cam_name, prob, poses, points, huber
+            )
         # gradient termination: at a (local) optimum every step is rejected
         # and the loop would otherwise spin through max_iters full Schur
         # solves ratcheting lambda up to the stuck limit. g_inf is ~0.3 at
@@ -443,9 +637,15 @@ def solve_ba_schur(
             jnp.max(jnp.abs(bc) * free_c),
             jnp.max(jnp.abs(bp) * free_p))
         done_grad = g_inf <= gtol * (1.0 + cost)
-        dc, dp = _schur_solve(
-            Hcc, Hpp, U, bc, bp, prob.pose_fixed, prob.point_valid, lam
-        )
+        if use_obs_path:
+            dc, dp = _schur_solve_obs(
+                Hcc, Hpp, W_o, prob.obs_cam, prob.obs_point, bc, bp,
+                prob.pose_fixed, prob.point_valid, lam
+            )
+        else:
+            dc, dp = _schur_solve(
+                Hcc, Hpp, U, bc, bp, prob.pose_fixed, prob.point_valid, lam
+            )
         new_poses = jax.vmap(lie.se3_retract)(poses, dc)
         new_poses = jnp.where(prob.pose_fixed[:, None], poses, new_poses)
         new_points = points + dp

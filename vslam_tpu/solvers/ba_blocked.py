@@ -48,7 +48,8 @@ from jax import lax
 
 from ..geometry import cameras as cam_models
 from ..geometry import lie
-from .ba import RESIDUAL_CLIP, _cam_inverse, _lm_gain_update, _sanitize
+from .ba import (RESIDUAL_CLIP, _cam_inverse, _inv3x3_auto, _lm_gain_update,
+                 _sanitize)
 
 
 class BlockProblem(NamedTuple):
@@ -173,7 +174,7 @@ def solve_ba_blocked(
         # ---- Schur elimination ----
         Hpp_d = Hpp + (lam + 1e-8) * eye3
         Hpp_d = jnp.where(prob.point_valid[:, None, None], Hpp_d, eye3)
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = _inv3x3_auto(Hpp_d)
         Hpp_inv = jnp.where(prob.point_valid[:, None, None], Hpp_inv, 0.0)
         T1 = jnp.einsum("kabl,lbc->kacl", U, Hpp_inv)   # [K, 6, 3, L]
         S = -(T1.reshape(6 * K, 3 * L) @ U.reshape(6 * K, 3 * L).T
