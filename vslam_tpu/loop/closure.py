@@ -119,11 +119,27 @@ def compute_sim3(
     valid = np.arange(cap) < len(lms)
 
     T_cand_inv = lie.se3_inv(kf.pose_l[cand_slot])
+    kmask = np.zeros(kf.frame_id.shape[0], bool)
+    for s in (cand_slot, *cand_neighbors):
+        if s != cur_slot:
+            kmask[s] = True
+    kmask_j = jnp.asarray(kmask)
     for _ in range(max_retries + 1):
         key, k = jax.random.split(key)
         T_wc, inl, n, ok = pnp.ransac_pnp(
             k, jnp.asarray(points), jnp.asarray(bearings), jnp.asarray(valid),
             pnp_threshold, num_hypotheses=num_hypotheses)
+        # Guided re-matching + IRLS refinement (ORB-SLAM ComputeSim3's
+        # SearchByProjection/optimize rounds): the RANSAC estimate comes
+        # from the few harvested pairs and on depth-uniform structure
+        # carries a near-exact lateral-translation/yaw ambiguity
+        # (delta_t ~= depth * delta_theta reprojects identically);
+        # re-matching the WHOLE candidate-side map through the estimate
+        # and refining on the larger set collapses the ambiguity.
+        for _ in range(2):
+            T_wc, _n_guided = _guided_refine_device(
+                kf, lm, jnp.asarray(cur_slot, jnp.int32), kmask_j,
+                T_wc, intr0, cam_name=cam_name)
         sim3 = lie.se3_mul(T_cand_inv, T_wc)
         trans_l1 = float(jnp.sum(jnp.abs(lie.se3_log(sim3)[:3])))
         if trans_l1 <= 5.0:
@@ -217,6 +233,70 @@ def compute_sim3_horn(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("cam_name", "cap", "gn_iters"))
+def _guided_refine_device(
+    kf: KeyframeState,
+    lm: LandmarkState,
+    cur_slot,           # [] int32
+    kf_src_mask,        # [K] bool: candidate + its covisible neighbors
+    T_cur,              # [7] current estimate of the corrected pose
+    intr0,
+    cam_name: str,
+    z_threshold: float = 0.1,
+    px_gate: float = 15.0,
+    threshold: int = 70,
+    ratio: float = 1.2,
+    cap: int = 1024,
+    gn_iters: int = 8,
+):
+    """One guided-matching + IRLS-refine round for the loop correction.
+
+    The RANSAC sim3 is estimated from the few harvested correspondences
+    and carries the depth-uniform lateral/yaw ambiguity (see
+    compute_sim3); ORB-SLAM's ComputeSim3 closes that gap by projecting
+    the candidate side's map points through the current estimate,
+    re-matching by descriptor in a 2D radius, and re-optimizing — this is
+    that round, fused on device. Returns (T_cur_refined [7], n_matches).
+    """
+    from ..solvers.pnp import _gn_refine
+
+    L = lm.pos.shape[0]
+    mp = kf.map_points
+    src = kf_src_mask[:, None] & (mp >= 0)
+    lm_mask = jnp.zeros((L + 1,), bool).at[
+        jnp.where(src, mp, L)].set(True, mode="drop")[:L]
+    lm_mask = lm_mask & lm.valid
+
+    p_c = lie.se3_apply(lie.se3_inv(T_cur), lm.pos)
+    proj = cam_models.project(cam_name, intr0, p_c)
+    ok = lm_mask & (p_c[:, 2] >= z_threshold)
+    sel, sel_valid = compact_indices(ok, cap)
+    sel = jnp.clip(sel, 0, L - 1)
+    sel_valid = sel_valid & ok[sel]
+
+    cur_bits = describe_ops.unpack_bits(kf.desc[cur_slot, 0])
+    cur_valid = kf.kp_valid[cur_slot, 0]
+    corners = kf.corners[cur_slot, 0]
+    m_lm, m_ok, _ = hamming.match_landmarks(
+        cur_bits, cur_valid,
+        lm.bank_bits[sel], lm.bank_valid[sel],
+        corners, proj[sel], sel_valid,
+        max_dist_2d=px_gate, threshold=threshold, ratio=ratio,
+    )
+    points = lm.pos[sel[jnp.clip(m_lm, 0)]]              # [N, 3]
+    bearings = cam_models.unproject(cam_name, intr0, corners)
+    w = m_ok.astype(points.dtype)
+    R0 = lie.quat_to_matrix(lie.se3_q(lie.se3_inv(T_cur)))
+    t0 = lie.se3_t(lie.se3_inv(T_cur))
+    T_cw = _gn_refine(R0, t0, points, bearings, w, gn_iters)
+    T_ref = lie.se3_inv(T_cw)
+    n = jnp.sum(m_ok)
+    # keep the prior estimate if matching found (almost) nothing
+    good = (n >= 10) & jnp.all(jnp.isfinite(T_ref))
+    return jnp.where(good, T_ref, T_cur), n
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("cam_name", "width", "height", "cap"))
 def _verify_loop_device(
@@ -274,7 +354,14 @@ def _verify_loop_device(
         corners, proj[sel], sel_valid,
         max_dist_2d=px_gate, threshold=threshold, ratio=ratio,
     )
-    return jnp.sum(m_ok), jnp.sum(sel_valid)
+    # num_visible is the DENOMINATOR of the caller's matched/visible ratio
+    # gate; when the source group's visible landmarks outnumber the current
+    # keyframe's features (a panorama-like frustum seen by several source
+    # KFs), the achievable maximum is the feature budget, not the landmark
+    # count — normalize by the binding constraint so the ratio stays a
+    # fraction of what a perfect closure COULD explain.
+    n_vis = jnp.minimum(jnp.sum(sel_valid), jnp.sum(cur_valid))
+    return jnp.sum(m_ok), n_vis
 
 
 def verify_loop(
