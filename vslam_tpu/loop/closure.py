@@ -136,10 +136,23 @@ def compute_sim3(
         # (delta_t ~= depth * delta_theta reprojects identically);
         # re-matching the WHOLE candidate-side map through the estimate
         # and refining on the larger set collapses the ambiguity.
+        T_pre = T_wc
         for _ in range(2):
             T_wc, _n_guided = _guided_refine_device(
                 kf, lm, jnp.asarray(cur_slot, jnp.int32), kmask_j,
                 T_wc, intr0, cam_name=cam_name)
+        # arbiter: the refine itself can be dragged by aliased guided
+        # matches. Count gated matches of the candidate-side map through
+        # BOTH poses (gn_iters=0 = match-count only, no update) and keep
+        # the better explainer — the same statistic verify_loop gates on.
+        _, n_ref = _guided_refine_device(
+            kf, lm, jnp.asarray(cur_slot, jnp.int32), kmask_j,
+            T_wc, intr0, cam_name=cam_name, gn_iters=0)
+        _, n_pre = _guided_refine_device(
+            kf, lm, jnp.asarray(cur_slot, jnp.int32), kmask_j,
+            T_pre, intr0, cam_name=cam_name, gn_iters=0)
+        if int(n_pre) > int(n_ref):
+            T_wc = T_pre
         sim3 = lie.se3_mul(T_cand_inv, T_wc)
         trans_l1 = float(jnp.sum(jnp.abs(lie.se3_log(sim3)[:3])))
         if trans_l1 <= 5.0:

@@ -538,6 +538,7 @@ class StreamingSLAM(StreamingVO):
         self.covis_host: dict = {}
         self.frame_of_slot: dict = {}
         self.loop_edges: list = []
+        self.rejected_loops: list = []  # (slot, cand, n_inl, n_vis)
         self.reloc_events: list = []   # (frame_polled, ok)
         # why candidates did / didn't close, per gate (observability for
         # threshold tuning; the reference's equivalent is watching the
@@ -588,12 +589,20 @@ class StreamingSLAM(StreamingVO):
         events = [(f, int(slot_log[f])) for f in range(self._polled_to, n)
                   if kf_log[f] and slot_log[f] >= 0]
         self._polled_to = n
-        for frame_idx, slot in events:
-            if slot in self.frame_of_slot:
-                # keyframe-capacity overflow logs the stale last slot;
-                # re-handling would duplicate inverted-file entries
-                continue
-            self._handle_keyframe(frame_idx, slot)
+        # keyframe-capacity overflow logs the stale last slot; re-handling
+        # would duplicate inverted-file entries
+        new = [(f, s) for f, s in events if s not in self.frame_of_slot]
+        if new:
+            # ONE blocking fetch for every new keyframe's BoW words +
+            # covisibility row: each d2h through the tunnel costs a
+            # completion-polling quantum (~27.5 ms), so per-keyframe
+            # fetches dominate the poll at realistic keyframe rates
+            slots = jnp.asarray([s for _, s in new], jnp.int32)
+            words_all, covis_all = jax.device_get(
+                (self.state.kf_words[slots], self.state.covis[slots]))
+            for (frame_idx, slot), words, covis_row in zip(
+                    new, words_all, covis_all):
+                self._handle_keyframe(frame_idx, slot, words, covis_row)
         # sustained-loss detection -> relocalization (slam.cpp:1348-1367
         # runs it per lost frame; here the poll reacts once per quantum)
         R = self.cfg.reloc_lost_frames
@@ -670,14 +679,16 @@ class StreamingSLAM(StreamingVO):
             cur_pose=T, last_pose=T + 0, vel=lie.identity_pose(),
             take_kf=jnp.asarray(True))
 
-    def _handle_keyframe(self, frame_idx: int, slot: int):
+    def _handle_keyframe(self, frame_idx: int, slot: int,
+                         words=None, covis_row=None):
         from ..loop import closure as closure_mod
         from ..loop import vocabulary as vocab_mod
 
         cfg = self.cfg
         self.frame_of_slot[slot] = frame_idx
-        words, covis_row = jax.device_get(
-            (self.state.kf_words[slot], self.state.covis[slot]))
+        if words is None or covis_row is None:
+            words, covis_row = jax.device_get(
+                (self.state.kf_words[slot], self.state.covis[slot]))
         edges = {int(s): int(covis_row[s])
                  for s in np.nonzero(covis_row >= cfg.num_cov_threshold)[0]
                  if s != slot}
@@ -737,6 +748,8 @@ class StreamingSLAM(StreamingVO):
                         or n_inl < cfg.loop_verify_min_ratio
                         * max(n_vis, 1)):
                     self.loop_stats["verify_failed"] += 1
+                    self.rejected_loops.append(
+                        (slot, cand, int(n_inl), int(n_vis)))
                     continue
                 if cfg.loop_verify_min_gain > 0:
                     # identity-gain gate (see config): reject corrections
@@ -754,6 +767,8 @@ class StreamingSLAM(StreamingVO):
                         ratio=cfg.match_next_best)
                     if n_inl < cfg.loop_verify_min_gain * max(n_id, 1):
                         self.loop_stats["no_gain"] += 1
+                        self.rejected_loops.append(
+                            (slot, cand, int(n_inl), -int(n_id)))
                         continue
             if not cfg.use_sim3:
                 sim3 = lie.identity_pose()
