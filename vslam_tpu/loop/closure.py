@@ -50,6 +50,36 @@ def _pow2(n: int, lo: int = 16) -> int:
     return p
 
 
+def _batched_matches(
+    kf: KeyframeState,
+    cur_bits,
+    cur_valid,
+    source_slots: Sequence[int],
+    cur_slot: int,
+    extra=None,
+):
+    """Match the current descriptors against every source keyframe in ONE
+    device dispatch + ONE fetch.
+
+    Returns (slots, m_all [S, N], mp_all [S, N], extra_fetched): per-slot
+    match tables and map_points rows as host numpy. ``extra`` is an
+    optional pytree of device values to ride along in the same fetch.
+    The slot vector is padded to a power of two so only a handful of
+    program shapes ever compile.
+    """
+    slots = [int(s) for s in source_slots if int(s) != int(cur_slot)]
+    if not slots:
+        return [], None, None, (jax.device_get(extra)
+                                if extra is not None else None)
+    cap = _pow2(len(slots), lo=4)
+    padded = np.asarray(slots + [slots[0]] * (cap - len(slots)), np.int32)
+    sl = jnp.asarray(padded)
+    m_dev = matching.match_vs_keyframes(cur_bits, cur_valid, kf, sl, 0)
+    m_all, mp_all, extra_f = jax.device_get(
+        (m_dev, kf.map_points[sl], extra))
+    return slots, m_all, mp_all, extra_f
+
+
 def harvest_correspondences(
     kf: KeyframeState,
     lm: LandmarkState,
@@ -66,16 +96,14 @@ def harvest_correspondences(
     ``cur_bits/cur_valid`` are the current image's descriptors — a stored
     keyframe's (loop closure) or a live frame's (relocalization).
     """
+    slots, m_all, mp_all, _ = _batched_matches(
+        kf, cur_bits, cur_valid, source_slots, cur_slot)
     used_landmarks: Set[int] = set()
     used_features: Set[int] = set()
     lms: List[int] = []
     feats: List[int] = []
-    for s in source_slots:
-        if s == cur_slot:
-            continue
-        m = np.asarray(matching.match_vs_keyframe(
-            cur_bits, cur_valid, kf, jnp.asarray(s), 0))
-        mp = np.asarray(kf.map_points[s])
+    for si in range(len(slots)):
+        m, mp = m_all[si], mp_all[si]
         for f in np.nonzero((m >= 0) & (mp >= 0))[0]:
             tid, cf = int(mp[f]), int(m[f])
             if tid in used_landmarks or cf in used_features:
@@ -112,10 +140,15 @@ def compute_sim3(
     cap = _pow2(len(lms))
     points = np.zeros((cap, 3), np.float32)
     bearings = np.zeros((cap, 3), np.float32)
-    points[:len(lms)] = np.asarray(lm.pos)[lms]
-    corners = np.asarray(kf.corners[cur_slot, 0])[feats]
-    bearings[:len(lms)] = np.asarray(cam_models.unproject(
-        cam_name, intr0, jnp.asarray(corners)))
+    # gather + unproject on device, ONE fetch for both tables
+    lms_j = jnp.asarray(np.asarray(lms, np.int32))
+    feats_j = jnp.asarray(np.asarray(feats, np.int32))
+    pts_h, bear_h = jax.device_get((
+        lm.pos[lms_j],
+        cam_models.unproject(cam_name, intr0,
+                             kf.corners[cur_slot, 0][feats_j])))
+    points[:len(lms)] = pts_h
+    bearings[:len(lms)] = bear_h
     valid = np.arange(cap) < len(lms)
 
     T_cand_inv = lie.se3_inv(kf.pose_l[cand_slot])
@@ -151,11 +184,13 @@ def compute_sim3(
         _, n_pre = _guided_refine_device(
             kf, lm, jnp.asarray(cur_slot, jnp.int32), kmask_j,
             T_pre, intr0, cam_name=cam_name, gn_iters=0)
-        if int(n_pre) > int(n_ref):
-            T_wc = T_pre
+        # the whole attempt (RANSAC + refines + arbiter + sanity gate)
+        # stays on device; ONE fetch decides accept/retry
+        T_wc = jnp.where(n_pre > n_ref, T_pre, T_wc)
         sim3 = lie.se3_mul(T_cand_inv, T_wc)
-        trans_l1 = float(jnp.sum(jnp.abs(lie.se3_log(sim3)[:3])))
-        if trans_l1 <= 5.0:
+        trans_l1 = jnp.sum(jnp.abs(lie.se3_log(sim3)[:3]))
+        tl = jax.device_get(trans_l1)
+        if float(tl) <= 5.0:
             return True, sim3
     return False, None
 
@@ -188,20 +223,18 @@ def compute_sim3_horn(
 
     cur_bits = describe_ops.unpack_bits(kf.desc[cur_slot, 0])
     cur_valid = kf.kp_valid[cur_slot, 0]
-    mp_cur = np.asarray(kf.map_points[cur_slot])
 
     # 3D-3D pairs: current feature f -> its own landmark (drifted world)
     # and the candidate-side landmark it matched (old world)
+    slots, m_all, mp_all, mp_cur = _batched_matches(
+        kf, cur_bits, cur_valid, (cand_slot, *cand_neighbors), cur_slot,
+        extra=kf.map_points[cur_slot])
     src_ids: List[int] = []
     dst_ids: List[int] = []
     used_dst: Set[int] = set()
-    for s in (cand_slot, *cand_neighbors):
-        if s == cur_slot:
-            continue
+    for si in range(len(slots)):
         # m[f] = current-feature index matched by candidate feature f
-        m = np.asarray(matching.match_vs_keyframe(
-            cur_bits, cur_valid, kf, jnp.asarray(s), 0))
-        mp_s = np.asarray(kf.map_points[s])
+        m, mp_s = m_all[si], mp_all[si]
         for f in np.nonzero((m >= 0) & (mp_s >= 0))[0]:
             cf = int(m[f])
             sid = int(mp_cur[cf])   # current-side landmark (drifted world)
@@ -215,34 +248,38 @@ def compute_sim3_horn(
         return False, None, 0.0
 
     cap = _pow2(len(src_ids))
-    pos = np.asarray(lm.pos)
     src = np.zeros((cap, 3), np.float32)
     dst = np.zeros((cap, 3), np.float32)
-    src[:len(src_ids)] = pos[src_ids]
-    dst[:len(dst_ids)] = pos[dst_ids]
+    src_h, dst_h = jax.device_get((
+        lm.pos[jnp.asarray(np.asarray(src_ids, np.int32))],
+        lm.pos[jnp.asarray(np.asarray(dst_ids, np.int32))]))
+    src[:len(src_ids)] = src_h
+    dst[:len(dst_ids)] = dst_h
     valid = np.arange(cap) < len(src_ids)
 
     S, inl, n_inl, ok = sim3_mod.ransac_sim3(
         key, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(valid),
         threshold=threshold_3d, num_hypotheses=num_hypotheses)
-    if not bool(ok):
+
+    # corrected current pose: S o T_w_cur (rigid action of the similarity);
+    # the whole tail (compose + sanity gate) stays on device, ONE fetch
+    T_cur = kf.pose_l[cur_slot]
+    R_cur = lie.quat_to_matrix(T_cur[3:7])
+    R_new = S.R @ R_cur
+    t_new = S.s * (S.R @ T_cur[:3]) + S.t
+    q_new = lie.matrix_to_quat(R_new)
+    T_cur_corr = jnp.concatenate([t_new, q_new]).astype(jnp.float32)
+    sim3 = lie.se3_mul(lie.se3_inv(kf.pose_l[cand_slot]), T_cur_corr)
+    trans_l1 = jnp.sum(jnp.abs(lie.se3_log(sim3)[:3]))
+    ok_h, scale, tl, sim3_h = jax.device_get((ok, S.s, trans_l1, sim3))
+    scale = float(scale)
+    if not bool(ok_h):
         return False, None, 0.0
-    scale = float(S.s)
     if abs(np.log(scale)) > max_scale_log:
         return False, None, scale  # scale drift in stereo = bad closure
-
-    # corrected current pose: S o T_w_cur (rigid action of the similarity)
-    T_cur = np.asarray(kf.pose_l[cur_slot])
-    R_cur = np.asarray(lie.quat_to_matrix(jnp.asarray(T_cur[3:7])))
-    R_new = np.asarray(S.R) @ R_cur
-    t_new = float(S.s) * (np.asarray(S.R) @ T_cur[:3]) + np.asarray(S.t)
-    q_new = np.asarray(lie.matrix_to_quat(jnp.asarray(R_new)))
-    T_cur_corr = jnp.asarray(np.concatenate([t_new, q_new]), jnp.float32)
-    sim3 = lie.se3_mul(lie.se3_inv(kf.pose_l[cand_slot]), T_cur_corr)
-    trans_l1 = float(jnp.sum(jnp.abs(lie.se3_log(sim3)[:3])))
-    if trans_l1 > 5.0:  # same sanity gate as the PnP path (sim3.h:340)
+    if float(tl) > 5.0:  # same sanity gate as the PnP path (sim3.h:340)
         return False, None, scale
-    return True, sim3, scale
+    return True, jnp.asarray(sim3_h), scale
 
 
 @functools.partial(

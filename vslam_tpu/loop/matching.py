@@ -30,3 +30,30 @@ def match_vs_keyframe(cur_bits, cur_valid, kf: KeyframeState, slot, cam,
         kf_bits, cur_bits, kf_valid, cur_valid,
         threshold=threshold, ratio=ratio)
     return jnp.where(acc, mj, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def match_vs_keyframes(cur_bits, cur_valid, kf: KeyframeState, slots, cam,
+                       threshold: int = 70, ratio: float = 1.2):
+    """Batched ``match_vs_keyframe`` over a [S] vector of keyframe slots.
+
+    Returns [S, N_kf] int32. One device program for the whole source set:
+    the loop-closure/relocalization harvest matches the current frame
+    against a candidate AND all its covisible neighbors, and through a
+    tunneled device each separate dispatch+fetch costs a completion-polling
+    quantum (~27.5 ms) — batching makes the harvest one dispatch + one
+    fetch instead of S. ``lax.map`` (not vmap) so the fused Pallas matcher
+    inside needs no batching rule.
+    """
+
+    def one(slot):
+        kf_bits = describe_ops.unpack_bits(kf.desc[slot, cam])
+        kf_valid = kf.kp_valid[slot, cam]
+        mj, acc = hamming.match_descriptors(
+            kf_bits, cur_bits, kf_valid, cur_valid,
+            threshold=threshold, ratio=ratio)
+        return jnp.where(acc, mj, -1)
+
+    from jax import lax
+
+    return lax.map(one, slots)
