@@ -146,110 +146,115 @@ def bench_single(frames, calib, use_slam_driver: bool):
     return runs[len(runs) // 2], n, kfs, tracked, ba_ms, runs
 
 
-def bench_full_slam(num_frames: int = 288):
-    """Full-SLAM throughput on a workload where closures actually FIRE.
+def bench_full_slam(num_frames: int = 288, num_features: int = 300):
+    """Full-SLAM throughput + accuracy on a workload where closures fire
+    ORGANICALLY.
 
     Pano revisit world (752x480, 1.75 revolutions) with the reference's
     full default configuration — loop closure + GBA after loop +
-    relocalization all enabled (slam.cpp:244-247). A well-tracked run of
-    this world stays consistent (the revisit quietly re-attaches to the
-    old map through guided matching and no closure is NEEDED — correct
-    behavior), so creeping gauge drift is injected over frames 110-150,
-    exactly like tests/test_streaming_slam.py: the revisit then arrives
-    with genuinely separated gauges and the closure + pose graph + global
-    BA all execute on the measured path. The untimed prefix covers
-    compile warmup + the injection syncs; the TIMED region (frames
-    150..N) contains the revisit: BoW descent per keyframe, detector
-    polling, compute_sim3 + verification, the essential-graph solve, the
-    async GBA dispatch+merge, and the reloc loss-watch.
+    relocalization all enabled (slam.cpp:244-247). The feature budget is
+    starved to 300 (the MH04/MH05 analogue: few trackable features →
+    drift accrues organically), so the revisit arrives with genuinely
+    separated gauges and the closure + pose graph + async global BA all
+    execute inside the TIMED region — no synthetic gauge injection.
+    (A 1500-feature run of this world tracks tightly enough that the
+    revisit re-attaches through guided matching and no closure is needed
+    — see ATE_TABLE.md; the VO-throughput headline covers that regime.)
 
-    Returns a dict: median fps, every run's fps, loops closed, GBA merges.
+    Also records the SLAM-vs-VO keyframe-ATE pair on the same world: the
+    reference's accuracy identity is that full SLAM beats baseline VO on
+    drifting sequences (README.md:40-48), and this puts that comparison
+    in the driver-captured artifact itself.
+
+    Run 0 is an untimed warmup (closure-path compiles + cache loads);
+    the median is over the timed runs, with every run recorded.
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from vslam_tpu.config import SlamConfig
+    from vslam_tpu.eval import ate
     from vslam_tpu.frontend.features import extract_features
-    from vslam_tpu.geometry import lie
     from vslam_tpu.loop import vocabulary as vocab_mod
-    from vslam_tpu.pipeline.streaming import StreamingSLAM
+    from vslam_tpu.pipeline.streaming import StreamingSLAM, StreamingVO
     from vslam_tpu.synthetic_pano import generate_pano_loop
-
-    CREEP_FROM, CREEP_TO, BOUNDARY = 110, 150, 100
-    T_OFF = np.array([2.4, -0.6, 1.6, 0.0, 0.04997917, 0.0, 0.99875026],
-                     np.float32)
 
     seq = generate_pano_loop(num_frames=num_frames, width=752, height=480,
                              revolutions=1.75, seed=2)
-    cfg = SlamConfig(
-        enable_relocalization=True, enable_loop_closure=True,
-        enable_gba_after_loop=True,
-        loop_closing_time_threshold=20, quality_level=0.001,
-        match_max_dist_2d=30.0,
-        max_landmarks=65536, max_keyframes=1024,
-    )
+
+    def make_cfg(full):
+        return SlamConfig(
+            num_features=num_features, ransac_hypotheses=128,
+            max_landmarks=32768, max_keyframes=128,
+            max_inview_landmarks=512, window_cams=24,
+            window_points=2048, window_obs=6144, ba_max_iters=10,
+            enable_relocalization=full, enable_loop_closure=full,
+            enable_gba_after_loop=full, new_kf_min_inliers=60,
+            loop_closing_time_threshold=20, quality_level=0.001,
+            match_max_dist_2d=30.0)
+
     pool = []
     for f in range(0, num_frames, max(1, num_frames // 24)):
         ft = extract_features(jnp.asarray(seq.images[f][0]),
-                              num_features=cfg.num_features,
-                              quality_level=cfg.quality_level)
+                              num_features=num_features,
+                              quality_level=0.001)
         pool.append(np.asarray(ft.bits)[np.asarray(ft.valid)])
     voc = vocab_mod.train(np.concatenate(pool), k=10, depth=4, seed=0)
     vocab_mod.set_idf_weights(voc, pool)
 
-    def inject(slam, T):
-        st = slam.state
-        T = jnp.asarray(T, jnp.float32)
-        live_kf = st.kf.valid & (st.kf.frame_id >= BOUNDARY)
-        mul = jax.vmap(lambda p: lie.se3_mul(T, p))
-        pose_l = jnp.where(live_kf[:, None], mul(st.kf.pose_l),
-                           st.kf.pose_l)
-        pose_r = jnp.where(live_kf[:, None], mul(st.kf.pose_r),
-                           st.kf.pose_r)
-        anchor = jnp.clip(st.lm.from_kf, 0)
-        live_lm = st.lm.valid & (st.lm.from_kf >= 0) & live_kf[anchor]
-        pos = jnp.where(live_lm[:, None], lie.se3_apply(T, st.lm.pos),
-                        st.lm.pos)
-        slam.state = st._replace(
-            kf=st.kf._replace(pose_l=pose_l, pose_r=pose_r),
-            lm=st.lm._replace(pos=pos),
-            cur_pose=lie.se3_mul(T, st.cur_pose),
-            last_pose=lie.se3_mul(T, st.last_pose))
+    def keyframe_ate(driver):
+        fids, pos, _ = driver.keyframe_trajectory()
+        return float(ate.align_svd(pos, seq.poses[fids, :3])[2])
 
-    T_step = np.asarray(lie.se3_exp(
-        lie.se3_log(jnp.asarray(T_OFF)) / (CREEP_TO - CREEP_FROM)))
-    runs, last, loops, gbas = [], None, 0, 0
-    n = num_frames - CREEP_TO
-    for _ in range(3):
-        slam = StreamingSLAM(seq.calib, cfg, voc,
-                             max_frames=num_frames + 8, poll_every=16)
-        slam.run(seq.images[:CREEP_FROM])
-        for f in range(CREEP_FROM, CREEP_TO):
-            slam.process_frame(*seq.images[f])
-            inject(slam, T_step)
-        slam.poll()
+    W = 32  # untimed warmup prefix per run (compile + bootstrap)
+    n = num_frames - W
+
+    def one_run(full):
+        if full:
+            slam = StreamingSLAM(seq.calib, make_cfg(True), voc,
+                                 max_frames=num_frames + 8, poll_every=16)
+        else:
+            slam = StreamingVO(seq.calib, make_cfg(False),
+                               max_frames=num_frames + 8)
+        slam.run(seq.images[:W])
+        if full:
+            slam.poll()
         jax.block_until_ready(slam.state.frame)
         t0 = time.perf_counter()
-        slam.run(seq.images[CREEP_TO:])
-        slam._merge_gba_if_ready(force=slam._pending_gba is not None)
+        slam.run(seq.images[W:])
+        if full:
+            slam._merge_gba_if_ready(force=slam._pending_gba is not None)
         jax.block_until_ready(slam.state.frame)
-        runs.append(n / (time.perf_counter() - t0))
-        last = slam
+        return n / (time.perf_counter() - t0), slam
+
+    warmup_fps, _ = one_run(True)  # compiles land here, not in the runs
+    runs, loops, gbas, slam_ate = [], 0, 0, None
+    for _ in range(3):
+        fps, slam = one_run(True)
+        runs.append(fps)
         loops = max(loops, len(slam.loop_edges))
         gbas = max(gbas, slam.gba_merges)
+        slam_ate = keyframe_ate(slam)
     runs.sort()
+    vo_fps, vo = one_run(False)
+    vo_ate = keyframe_ate(vo)
     return {
         "full_slam_fps": round(runs[len(runs) // 2], 2),
         "full_slam_runs": [round(r, 2) for r in runs],
+        "full_slam_warmup_fps": round(warmup_fps, 2),
         "full_slam_loops_closed": loops,
         "full_slam_gba_merges": gbas,
+        "full_slam_ate_m": round(slam_ate, 3),
+        "full_slam_vo_control_ate_m": round(vo_ate, 3),
+        "full_slam_vo_control_fps": round(vo_fps, 2),
         "full_slam_config": ("streaming driver, pano revisit world "
-                             "(752x480, 1.75 rev) with creeping gauge "
-                             "drift; loop closure + GBA after loop + "
-                             "relocalization ON; timed region contains "
-                             "the closure + async GBA; 10k-word trained "
-                             "BoW, poll_every=16"),
+                             "(752x480, 1.75 rev), 300-feature budget -> "
+                             "organic drift; loop closure + GBA after "
+                             "loop + relocalization ON; closure + pose "
+                             "graph + async GBA inside the timed region; "
+                             "trained BoW, poll_every=16; ATE pair = "
+                             "same-world SLAM vs VO control"),
     }
 
 

@@ -535,11 +535,7 @@ def loop_closure(
 
     # ---- assemble the essential graph (all measurements pre-align) ----
     parent = np.asarray(kf.parent)
-    edges_i, edges_j, meas = [], [], []
-
-    def log_rel(Ti, Tj):
-        return np.asarray(lie.se3_log(lie.se3_mul(
-            lie.se3_inv(jnp.asarray(Ti)), jnp.asarray(Tj))))
+    edges_i, edges_j = [], []
 
     for i in range(n_kf):
         p = int(parent[i])
@@ -549,17 +545,26 @@ def loop_closure(
             continue  # covered by the essential edge below
         edges_i.append(i)
         edges_j.append(p)
-        meas.append(log_rel(poses_pre[i], poses_pre[p]))
     for i in range(n_kf):
         for j, w in covis.get(i, {}).items():
             if w > essential_threshold and i < j < n_kf:
                 edges_i.append(i)
                 edges_j.append(j)
-                meas.append(log_rel(poses_pre[i], poses_pre[j]))
+    # all edge measurements in ONE batched device call (a per-edge
+    # log_rel loop costs 2 tunnel round-trips per edge — seconds per
+    # closure at realistic graph sizes)
+    ei = np.asarray(edges_i, np.int32)
+    ej = np.asarray(edges_j, np.int32)
+    pp = jnp.asarray(poses_pre)
+    meas_batch, loop_meas = jax.device_get((
+        jax.vmap(lambda Ti, Tj: lie.se3_log(
+            lie.se3_mul(lie.se3_inv(Ti), Tj)))(pp[ei], pp[ej]),
+        lie.se3_log(lie.se3_inv(jnp.asarray(sim3)))))
+    meas = list(meas_batch)
     # loop edge: log(sim3^-1) between current and candidate
     edges_i.append(cur_slot)
     edges_j.append(cand_slot)
-    meas.append(np.asarray(lie.se3_log(lie.se3_inv(sim3))))
+    meas.append(np.asarray(loop_meas))
 
     E = len(edges_i)
     K = _pow2(n_kf)

@@ -540,6 +540,9 @@ class StreamingSLAM(StreamingVO):
         self.loop_edges: list = []
         self.rejected_loops: list = []  # (slot, cand, n_inl, n_vis)
         self.reloc_events: list = []   # (frame_polled, ok)
+        # wall-clock seconds per closure stage (observability: the
+        # reference's equivalent is Ceres BriefReport lines scrolling by)
+        self.loop_timings = collections.Counter()
         # why candidates did / didn't close, per gate (observability for
         # threshold tuning; the reference's equivalent is watching the
         # cout banners scroll by)
@@ -582,9 +585,13 @@ class StreamingSLAM(StreamingVO):
     # ------------------------------------------------------------------
     def poll(self):
         """Process keyframe + loss events logged since the last poll."""
+        import time as _time
+
+        t_poll = _time.perf_counter()
         n, kf_log, slot_log, ok_log = jax.device_get(
             (self.state.frame, self.state.log_kf, self.state.log_slot,
              self.state.log_ok))
+        self.loop_timings["poll_fetch"] += _time.perf_counter() - t_poll
         n = int(n)
         events = [(f, int(slot_log[f])) for f in range(self._polled_to, n)
                   if kf_log[f] and slot_log[f] >= 0]
@@ -622,13 +629,17 @@ class StreamingSLAM(StreamingVO):
         if not (force or self.cfg.deterministic_async
                 or self._pending_gba.ready()):
             return
+        import time as _time
+
         from . import ba_global
 
+        t0 = _time.perf_counter()
         kf2, lm2 = ba_global.merge_global_ba(
             self.state.kf, self.state.lm, self._pending_gba)
         self.state = self.state._replace(kf=kf2, lm=lm2)
         self._pending_gba = None
         self.gba_merges += 1
+        self.loop_timings["gba_merge"] += _time.perf_counter() - t0
 
     def keyframe_trajectory(self):
         self._merge_gba_if_ready(force=True)
@@ -681,8 +692,22 @@ class StreamingSLAM(StreamingVO):
 
     def _handle_keyframe(self, frame_idx: int, slot: int,
                          words=None, covis_row=None):
+        import time as _time
+
         from ..loop import closure as closure_mod
         from ..loop import vocabulary as vocab_mod
+
+        class _T:
+            """Accumulate wall seconds into loop_timings[key]."""
+
+            def __init__(s, key):
+                s.key = key
+
+            def __enter__(s):
+                s.t0 = _time.perf_counter()
+
+            def __exit__(s, *a):
+                self.loop_timings[s.key] += _time.perf_counter() - s.t0
 
         cfg = self.cfg
         self.frame_of_slot[slot] = frame_idx
@@ -703,9 +728,11 @@ class StreamingSLAM(StreamingVO):
             # relocalization-only mode still needs the recognition database
             self.detector.db.insert(slot, bow)
             return
-        candidates = self.detector.detect(
-            slot, bow, edges, self._graph_sets(), 2 * cfg.num_cov_threshold,
-            essential_threshold=cfg.num_ess_threshold)
+        with _T("detect"):
+            candidates = self.detector.detect(
+                slot, bow, edges, self._graph_sets(),
+                2 * cfg.num_cov_threshold,
+                essential_threshold=cfg.num_ess_threshold)
         self.loop_stats["candidates"] += len(candidates)
         if self.loop_edges and frame_idx - self._last_closure_frame \
                 < cfg.loop_cooldown_frames:
@@ -722,28 +749,33 @@ class StreamingSLAM(StreamingVO):
                 # world) the PnP path has a near-exact lateral-translation /
                 # yaw ambiguity (delta_t ~= depth * delta_theta reprojects
                 # identically); the 3D-3D form stays well-conditioned.
-                ok, sim3, _scale = closure_mod.compute_sim3_horn(
-                    self.state.kf, self.state.lm, slot, cand,
-                    sorted(self.covis_host.get(cand, {})), self._next_key(),
-                    num_hypotheses=cfg.ransac_hypotheses)
+                with _T("sim3"):
+                    ok, sim3, _scale = closure_mod.compute_sim3_horn(
+                        self.state.kf, self.state.lm, slot, cand,
+                        sorted(self.covis_host.get(cand, {})),
+                        self._next_key(),
+                        num_hypotheses=cfg.ransac_hypotheses)
             else:
-                ok, sim3 = closure_mod.compute_sim3(
-                    self.state.kf, self.state.lm, slot, cand,
-                    sorted(self.covis_host.get(cand, {})), self.state.intr0,
-                    self.cam_name, self.pnp_threshold, self._next_key(),
-                    num_hypotheses=cfg.ransac_hypotheses)
+                with _T("sim3"):
+                    ok, sim3 = closure_mod.compute_sim3(
+                        self.state.kf, self.state.lm, slot, cand,
+                        sorted(self.covis_host.get(cand, {})),
+                        self.state.intr0,
+                        self.cam_name, self.pnp_threshold, self._next_key(),
+                        num_hypotheses=cfg.ransac_hypotheses)
             if not ok:
                 self.loop_stats["sim3_failed"] += 1
                 continue
             if cfg.enable_loop_verification:
                 nbrs = sorted(self.covis_host.get(cand, {}))
-                n_inl, n_vis = closure_mod.verify_loop(
-                    self.state.kf, self.state.lm, slot, cand, nbrs, sim3,
-                    self.state.intr0, self.cam_name,
-                    self.calib.width, self.calib.height,
-                    px_gate=cfg.loop_verify_px,
-                    threshold=cfg.match_max_dist,
-                    ratio=cfg.match_next_best)
+                with _T("verify"):
+                    n_inl, n_vis = closure_mod.verify_loop(
+                        self.state.kf, self.state.lm, slot, cand, nbrs, sim3,
+                        self.state.intr0, self.cam_name,
+                        self.calib.width, self.calib.height,
+                        px_gate=cfg.loop_verify_px,
+                        threshold=cfg.match_max_dist,
+                        ratio=cfg.match_next_best)
                 if (n_inl < cfg.loop_verify_min_inliers
                         or n_inl < cfg.loop_verify_min_ratio
                         * max(n_vis, 1)):
@@ -758,13 +790,14 @@ class StreamingSLAM(StreamingVO):
                     sim3_id = lie.se3_mul(
                         lie.se3_inv(self.state.kf.pose_l[cand]),
                         self.state.kf.pose_l[slot])
-                    n_id, _ = closure_mod.verify_loop(
-                        self.state.kf, self.state.lm, slot, cand, nbrs,
-                        sim3_id, self.state.intr0, self.cam_name,
-                        self.calib.width, self.calib.height,
-                        px_gate=cfg.loop_verify_px,
-                        threshold=cfg.match_max_dist,
-                        ratio=cfg.match_next_best)
+                    with _T("verify"):
+                        n_id, _ = closure_mod.verify_loop(
+                            self.state.kf, self.state.lm, slot, cand, nbrs,
+                            sim3_id, self.state.intr0, self.cam_name,
+                            self.calib.width, self.calib.height,
+                            px_gate=cfg.loop_verify_px,
+                            threshold=cfg.match_max_dist,
+                            ratio=cfg.match_next_best)
                     if n_inl < cfg.loop_verify_min_gain * max(n_id, 1):
                         self.loop_stats["no_gain"] += 1
                         self.rejected_loops.append(
@@ -782,11 +815,12 @@ class StreamingSLAM(StreamingVO):
             T_corr = lie.se3_normalize(lie.se3_mul(
                 lie.se3_mul(self.state.kf.pose_l[cand], sim3),
                 lie.se3_inv(self.state.kf.pose_l[slot])))
-            kf2, lm2, _ = closure_mod.loop_closure(
-                self.state.kf, self.state.lm, slot, cand, sim3,
-                self.covis_host, self.state.T_0_1,
-                essential_threshold=cfg.num_ess_threshold,
-                live_slots=newer, huber=1.0, max_iters=20)
+            with _T("pose_graph"):
+                kf2, lm2, _ = closure_mod.loop_closure(
+                    self.state.kf, self.state.lm, slot, cand, sim3,
+                    self.covis_host, self.state.T_0_1,
+                    essential_threshold=cfg.num_ess_threshold,
+                    live_slots=newer, huber=1.0, max_iters=20)
             # the tracker lives in the corrected gauge now (vel is a
             # relative pose — invariant under the left world correction)
             self.state = self.state._replace(
@@ -804,7 +838,8 @@ class StreamingSLAM(StreamingVO):
                 # this closure's correction — merging it would undo it).
                 from . import ba_global
 
-                self._pending_gba = ba_global.dispatch_global_ba(
-                    self.state.kf, self.state.lm, self.state.intr0,
-                    self.state.intr1, cam_name=self.cam_name,
-                    huber=cfg.ba_huber_px)
+                with _T("gba_dispatch"):
+                    self._pending_gba = ba_global.dispatch_global_ba(
+                        self.state.kf, self.state.lm, self.state.intr0,
+                        self.state.intr1, cam_name=self.cam_name,
+                        huber=cfg.ba_huber_px)
