@@ -568,7 +568,10 @@ def loop_closure(
 
     E = len(edges_i)
     K = _pow2(n_kf)
-    E_pad = _pow2(E)
+    # coarse padding bucket: successive closures land a few edges apart,
+    # and a fresh E_pad shape recompiles the whole pose-graph solver
+    # (~0.5 s) — lo=256 makes most realistic graphs share one program
+    E_pad = _pow2(E, lo=256)
     # anchors: the (corrected) live group and the candidate; the chain
     # between them absorbs the disagreement
     fixed = np.arange(K) >= n_kf

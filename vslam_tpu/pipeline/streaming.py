@@ -68,12 +68,20 @@ class StreamState(NamedTuple):
     log_slot: jnp.ndarray = None   # [F] int32 KF slot taken this frame (-1)
     # place recognition (StreamingSLAM only; None in VO mode) — the BoW
     # words and covisibility rows are produced on device inside the
-    # keyframe branch so the host can poll them in batches
+    # keyframe branch and written into a keyframe EVENT RING so the host
+    # poll consumes everything (loss log + all new keyframes' words +
+    # covis rows) in ONE blocking fetch: through the tunnel every
+    # separate d2h costs a completion-polling quantum (~27.5 ms), so the
+    # previous two-fetch poll (log scan, then per-new-slot gather) paid
+    # double at realistic keyframe rates
     voc_desc: jnp.ndarray = None        # [Nn, 256] uint8
     voc_children: jnp.ndarray = None    # [Nn, k] int32
     voc_word_of_node: jnp.ndarray = None  # [Nn] int32
-    kf_words: jnp.ndarray = None        # [K, N] int32
-    covis: jnp.ndarray = None           # [K, K] int32
+    ev_count: jnp.ndarray = None        # [] int32 keyframe events so far
+    ev_frame: jnp.ndarray = None        # [E] int32 frame of event
+    ev_slot: jnp.ndarray = None         # [E] int32 KF slot of event
+    ev_words: jnp.ndarray = None        # [E, N] int32 BoW words
+    ev_covis: jnp.ndarray = None        # [E, K] int32 covis row at insert
     # current-frame features (streaming relocalization only): the newest
     # frame's descriptors/corners stay resident on device so a loss poll
     # can recover without re-running the frontend (tracking.h:258-261
@@ -85,6 +93,12 @@ class StreamState(NamedTuple):
     # values, so set_param() changes them mid-run with zero recompiles —
     # the reference's pangolin::Var sliders (slam.cpp:223-310)
     tune: jnp.ndarray = None            # [len(DEVICE_TUNABLE)] float32
+
+
+# keyframe event ring capacity: the poll must run at least once per
+# EV_CAP keyframes (poll_every frames can yield at most poll_every
+# keyframes, and poll_every <= EV_CAP is asserted by StreamingSLAM)
+EV_CAP = 64
 
 
 def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
@@ -214,21 +228,25 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
                     state.voc_desc, state.voc_children,
                     state.voc_word_of_node, res.feats.bits, res.feats.valid,
                     voc_depth)
-                kf_words = state.kf_words.at[out.slot].set(words,
-                                                           mode="drop")
-                covis = state.covis.at[out.slot, :].set(
-                    out.covis_weight, mode="drop")
-                covis = covis.at[:, jnp.minimum(out.slot, K - 1)].set(
-                    jnp.where(out.slot < K, out.covis_weight,
-                              covis[:, jnp.minimum(out.slot, K - 1)]))
+                # append to the keyframe event ring (capacity-overflow
+                # inserts are dropped: their slot would be stale)
+                e = jnp.where(in_cap, state.ev_count % EV_CAP, EV_CAP)
+                ev = (state.ev_count + in_cap.astype(jnp.int32),
+                      state.ev_frame.at[e].set(state.frame, mode="drop"),
+                      state.ev_slot.at[e].set(slot, mode="drop"),
+                      state.ev_words.at[e].set(words, mode="drop"),
+                      state.ev_covis.at[e].set(out.covis_weight,
+                                               mode="drop"))
             else:
-                kf_words, covis = state.kf_words, state.covis
-            return kf3, lm3, pose_kf, slot, kf_words, covis
+                ev = (state.ev_count, state.ev_frame, state.ev_slot,
+                      state.ev_words, state.ev_covis)
+            return kf3, lm3, pose_kf, slot, ev
 
         def tr_branch(op):
             kf, lm = op
-            return (kf, lm, pose, state.last_kf_slot, state.kf_words,
-                    state.covis)
+            return (kf, lm, pose, state.last_kf_slot,
+                    (state.ev_count, state.ev_frame, state.ev_slot,
+                     state.ev_words, state.ev_covis))
 
         # in relocalization mode a lost frame must NOT become a keyframe:
         # it would enter the map (and the recognition database) at the
@@ -241,7 +259,7 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
         bootstrap = state.kf.next_slot == 0
         do_kf = (state.take_kf & (ok | bootstrap)) if store_features \
             else state.take_kf
-        kf2, lm2, pose2, last_slot, kf_words, covis = lax.cond(
+        kf2, lm2, pose2, last_slot, ev = lax.cond(
             do_kf, kf_branch, tr_branch, (state.kf, state.lm))
 
         # advance (slam.cpp:1299-1301,1453-1455) + velocity-decay guard
@@ -283,8 +301,8 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             log_ok=state.log_ok.at[f].set(ok, mode="drop"),
             log_slot=state.log_slot.at[f].set(
                 jnp.where(do_kf, last_slot, -1), mode="drop"),
-            kf_words=kf_words,
-            covis=covis,
+            ev_count=ev[0], ev_frame=ev[1], ev_slot=ev[2],
+            ev_words=ev[3], ev_covis=ev[4],
         )
 
     return jax.jit(step, donate_argnums=(0,))
@@ -328,8 +346,11 @@ class StreamingVO:
                 voc_desc=jnp.asarray(self.voc.node_desc),
                 voc_children=jnp.asarray(self.voc.children),
                 voc_word_of_node=jnp.asarray(self.voc.word_of_node),
-                kf_words=jnp.full((K, cfg.num_features), -1, jnp.int32),
-                covis=jnp.zeros((K, K), jnp.int32),
+                ev_count=jnp.asarray(0, jnp.int32),
+                ev_frame=jnp.full((EV_CAP,), -1, jnp.int32),
+                ev_slot=jnp.full((EV_CAP,), -1, jnp.int32),
+                ev_words=jnp.full((EV_CAP, cfg.num_features), -1, jnp.int32),
+                ev_covis=jnp.zeros((EV_CAP, K), jnp.int32),
             )
         else:
             bow_fields = {}
@@ -533,6 +554,9 @@ class StreamingSLAM(StreamingVO):
 
         import collections
 
+        if poll_every > EV_CAP:
+            raise ValueError(f"poll_every={poll_every} can outrun the "
+                             f"keyframe event ring (EV_CAP={EV_CAP})")
         self.poll_every = poll_every
         self.detector = LoopDetector(self.cfg.num_consistency)
         self.covis_host: dict = {}
@@ -548,6 +572,7 @@ class StreamingSLAM(StreamingVO):
         # cout banners scroll by)
         self.loop_stats = collections.Counter()
         self._polled_to = 0
+        self._ev_consumed = 0
         self._last_closure_frame = -(10 ** 9)
         self._pending_gba = None
         self.gba_merges = 0
@@ -584,32 +609,37 @@ class StreamingSLAM(StreamingVO):
 
     # ------------------------------------------------------------------
     def poll(self):
-        """Process keyframe + loss events logged since the last poll."""
+        """Process keyframe + loss events logged since the last poll.
+
+        ONE blocking fetch covers everything: the loss log plus the
+        keyframe event ring (frame, slot, BoW words, covis row per new
+        keyframe). Each separate d2h through the tunnel costs a
+        completion-polling quantum (~27.5 ms), so fetch count — not
+        bytes — is what the poll must minimize."""
         import time as _time
 
         t_poll = _time.perf_counter()
-        n, kf_log, slot_log, ok_log = jax.device_get(
-            (self.state.frame, self.state.log_kf, self.state.log_slot,
-             self.state.log_ok))
+        n, ok_log, ev_count, ev_frame, ev_slot, ev_words, ev_covis = \
+            jax.device_get(
+                (self.state.frame, self.state.log_ok, self.state.ev_count,
+                 self.state.ev_frame, self.state.ev_slot,
+                 self.state.ev_words, self.state.ev_covis))
         self.loop_timings["poll_fetch"] += _time.perf_counter() - t_poll
         n = int(n)
-        events = [(f, int(slot_log[f])) for f in range(self._polled_to, n)
-                  if kf_log[f] and slot_log[f] >= 0]
         self._polled_to = n
-        # keyframe-capacity overflow logs the stale last slot; re-handling
-        # would duplicate inverted-file entries
-        new = [(f, s) for f, s in events if s not in self.frame_of_slot]
-        if new:
-            # ONE blocking fetch for every new keyframe's BoW words +
-            # covisibility row: each d2h through the tunnel costs a
-            # completion-polling quantum (~27.5 ms), so per-keyframe
-            # fetches dominate the poll at realistic keyframe rates
-            slots = jnp.asarray([s for _, s in new], jnp.int32)
-            words_all, covis_all = jax.device_get(
-                (self.state.kf_words[slots], self.state.covis[slots]))
-            for (frame_idx, slot), words, covis_row in zip(
-                    new, words_all, covis_all):
-                self._handle_keyframe(frame_idx, slot, words, covis_row)
+        ev_count = int(ev_count)
+        # ring overflow can only happen if polls are rarer than EV_CAP
+        # keyframes (asserted against in __init__); drop-oldest keeps the
+        # detector consistent if it ever does
+        start = max(self._ev_consumed, ev_count - EV_CAP)
+        for k in range(start, ev_count):
+            e = k % EV_CAP
+            slot = int(ev_slot[e])
+            if slot < 0 or slot in self.frame_of_slot:
+                continue
+            self._handle_keyframe(int(ev_frame[e]), slot,
+                                  ev_words[e], ev_covis[e])
+        self._ev_consumed = ev_count
         # sustained-loss detection -> relocalization (slam.cpp:1348-1367
         # runs it per lost frame; here the poll reacts once per quantum)
         R = self.cfg.reloc_lost_frames
@@ -691,7 +721,7 @@ class StreamingSLAM(StreamingVO):
             take_kf=jnp.asarray(True))
 
     def _handle_keyframe(self, frame_idx: int, slot: int,
-                         words=None, covis_row=None):
+                         words, covis_row):
         import time as _time
 
         from ..loop import closure as closure_mod
@@ -711,9 +741,6 @@ class StreamingSLAM(StreamingVO):
 
         cfg = self.cfg
         self.frame_of_slot[slot] = frame_idx
-        if words is None or covis_row is None:
-            words, covis_row = jax.device_get(
-                (self.state.kf_words[slot], self.state.covis[slot]))
         edges = {int(s): int(covis_row[s])
                  for s in np.nonzero(covis_row >= cfg.num_cov_threshold)[0]
                  if s != slot}

@@ -90,6 +90,7 @@ def save_stream(vo, path: str) -> None:
     if hasattr(vo, "detector"):
         host.update({
             "polled_to": vo._polled_to,
+            "ev_consumed": vo._ev_consumed,
             "covis_host": {str(k): v for k, v in vo.covis_host.items()},
             "frame_of_slot": {str(k): v for k, v in
                               vo.frame_of_slot.items()},
@@ -126,6 +127,7 @@ def load_stream(vo, path: str):
         host = json.load(f)
     if hasattr(vo, "detector") and "db_inverted" in host:
         vo._polled_to = host["polled_to"]
+        vo._ev_consumed = host.get("ev_consumed", vo._ev_consumed)
         vo.covis_host = {int(k): {int(s): w for s, w in d.items()}
                          for k, d in host["covis_host"].items()}
         vo.frame_of_slot = {int(k): v for k, v in
