@@ -95,6 +95,12 @@ class SlamConfig:
     # (every LM iteration pays the full padded shapes)
     window_points: int = 4096              # active landmarks, 10-KF window
     window_obs: int = 12288
+    # keep only the k NEWEST in-window observations of each landmark in
+    # the window BA (0 = all, reference semantics). Shape-determining:
+    # shrinks the per-iteration Jacobian/Schur work on the keyframe hot
+    # path; the newest views pin the live end of the window where the
+    # estimated pose lives. See ba_window.build_window_problem.
+    ba_obs_per_lm: int = 0
     # place the async window BA on this jax.devices() index (None = same
     # chip); on a multi-chip topology the solve then genuinely overlaps
     # tracking instead of sharing the tracking chip's queue

@@ -31,7 +31,7 @@ class WindowProblem(NamedTuple):
     sel_lm_valid: jnp.ndarray  # [Lw]
 
 
-@functools.partial(jax.jit, static_argnames=("W2", "Lw", "O"))
+@functools.partial(jax.jit, static_argnames=("W2", "Lw", "O", "obs_per_lm"))
 def build_window_problem(
     kf: KeyframeState,
     lm: LandmarkState,
@@ -40,6 +40,7 @@ def build_window_problem(
     W2: int = 12,
     Lw: int = 8192,
     O: int = 24576,
+    obs_per_lm: int = 0,
 ) -> WindowProblem:
     K = kf.frame_id.shape[0]
     dtype = kf.pose_l.dtype
@@ -84,6 +85,28 @@ def build_window_problem(
     ofeat = lm.obs_feat[sel_lm]
     pair_i = kf_to_i[jnp.clip(okf, 0, K)]      # [Lw, M]
     ovalid = (okf >= 0) & (pair_i >= 0) & sel_lm_valid[:, None]
+
+    if 0 < obs_per_lm < M:
+        # obs subsampling: keep only the obs_per_lm NEWEST in-window
+        # observations per landmark (by observing keyframe's frame id).
+        # A well-tracked landmark accrues up to M=obs-table-width entries
+        # inside the window; the newest k pin the same cameras at ~k/M of
+        # the Jacobian/Schur cost. Oldest-first dropping biases residuals
+        # toward the live end of the window, where the pose being
+        # estimated lives; the gauge pair is fixed anyway so its dropped
+        # observations only lose point constraints that newer views
+        # re-measure. (The reference solves the full observation set,
+        # slam.cpp:1510-1569 — this is a TPU throughput lever, off by
+        # default, enabled via SlamConfig.ba_obs_per_lm.)
+        recency = jnp.where(ovalid, kf.frame_id[jnp.clip(okf, 0, K - 1)],
+                            -1)
+        _, cols = lax.top_k(recency, obs_per_lm)          # [Lw, k]
+        okf = jnp.take_along_axis(okf, cols, axis=1)
+        ocam = jnp.take_along_axis(ocam, cols, axis=1)
+        ofeat = jnp.take_along_axis(ofeat, cols, axis=1)
+        ovalid = jnp.take_along_axis(ovalid, cols, axis=1)
+        M = obs_per_lm
+
     opoint = jnp.broadcast_to(
         jnp.arange(Lw, dtype=jnp.int32)[:, None], (Lw, M))
 
@@ -153,6 +176,7 @@ def run_window_ba(
     W2: int = 12,
     Lw: int = 8192,
     O: int = 24576,
+    obs_per_lm: int = 0,
 ):
     """Build, solve, merge. Returns (kf, lm, stats).
 
@@ -160,7 +184,8 @@ def run_window_ba(
     solver (which owns global BA, pipeline/ba_global.py): fewer padded
     obs slots and the [K*L] coupling densification is cheap at K<=24.
     """
-    wp = build_window_problem(kf, lm, intr0, intr1, W2=W2, Lw=Lw, O=O)
+    wp = build_window_problem(kf, lm, intr0, intr1, W2=W2, Lw=Lw, O=O,
+                              obs_per_lm=obs_per_lm)
     poses, points, stats = ba.solve_ba_schur(
         wp.prob, cam_name=cam_name, huber=huber, max_iters=max_iters)
     kf, lm = merge_window_result(kf, lm, wp, poses, points)

@@ -584,7 +584,8 @@ class SlamSystem:
 
         wp = ba_window.build_window_problem(
             self.kf, self.lm, self.intr0, self.intr1,
-            W2=cfg.window_cams // 2, Lw=cfg.window_points, O=cfg.window_obs)
+            W2=cfg.window_cams // 2, Lw=cfg.window_points, O=cfg.window_obs,
+            obs_per_lm=cfg.ba_obs_per_lm)
         if cfg.ba_device is not None:
             # place the background solve on another chip so it genuinely
             # overlaps tracking (the reference's opt thread shares one CPU;

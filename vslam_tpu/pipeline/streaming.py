@@ -210,7 +210,7 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             wp = ba_window.build_window_problem(
                 kf2, lm2, state.intr0, state.intr1,
                 W2=cfg.window_cams // 2, Lw=cfg.window_points,
-                O=cfg.window_obs)
+                O=cfg.window_obs, obs_per_lm=cfg.ba_obs_per_lm)
             poses, points, _ = ba.solve_ba_schur(
                 wp.prob, cam_name=cam_name, huber=P("ba_huber_px"),
                 max_iters=cfg.ba_max_iters)
