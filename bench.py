@@ -1,4 +1,4 @@
-"""Benchmark: end-to-end stereo VO throughput on a real TPU chip.
+"""Benchmark: end-to-end stereo VO + full-SLAM throughput on a real TPU.
 
 Runs the full per-frame pipeline (detect + describe + project + gated
 Hamming matching via the Pallas kernels + RANSAC PnP + keyframing /
@@ -7,17 +7,21 @@ triangulation / windowed Schur BA when triggered) at EuRoC scale
 sync-free streaming driver (pipeline/streaming.py — one fused XLA program
 per frame, device-side keyframe decision, no per-frame host round trips).
 
-Workload: a synthetic EuRoC-like sequence at full resolution, so tracking
-is live and the keyframe cadence is realistic. (The 201 sample frames
-bundled with the reference are 7-second-apart snapshots — tracking cannot
-persist across them, which would skew the keyframe fraction; pass
---sample to measure on them anyway. --driver slam measures the faithful
-per-frame-sync driver instead.)
+Timeout-proof emission contract: the merged result dict is re-printed as a
+fresh JSON line after EVERY sub-bench (and after every full-SLAM run), so
+the LAST stdout line is always the most complete artifact — a driver that
+kills the process on a wall timeout still captures everything measured up
+to that point. A global wall budget (env BENCH_BUDGET_S, default 900 s)
+adaptively cuts repeat counts and skips remaining sub-benches (recording
+"<name>_skipped": "budget") instead of dying mid-measurement; the tunneled
+chip's throughput varies >2x run-to-run, so all repeat counts derive from
+measured per-run wall cost, not constants.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus a
-secondary multi-sequence throughput figure (BASELINE.json configs[3]:
-8 sequences tracked lockstep on one chip). vs_baseline is against the
-BASELINE.md target of 40 fps (2x real-time EuRoC): vs_baseline = fps / 40.
+Workloads: synthetic EuRoC-like sequences at full resolution so tracking
+is live and the keyframe cadence realistic (the 201 bundled sample frames
+are 7-second-apart snapshots — tracking cannot persist across them; they
+get their own sample_fps line). vs_baseline is against the BASELINE.md
+target of 40 fps (2x real-time EuRoC): vs_baseline = fps / 40.
 """
 
 import json
@@ -32,6 +36,30 @@ TARGET_FPS = 40.0
 WARMUP_FRAMES = 8
 SAMPLE_DIR = "/root/reference/data/euroc_V1"
 CALIB = "/root/reference/calibration_file/euroc_v1_123_ds_calib.json"
+
+
+class Emitter:
+    """Merged-artifact emitter with a global wall budget.
+
+    emit() merges fields and prints the FULL merged dict as one JSON line
+    (the driver keeps the stdout tail and parses the last line, so every
+    line must be a complete artifact on its own)."""
+
+    def __init__(self, budget_s: float):
+        self.t0 = time.monotonic()
+        self.budget = budget_s
+        self.out = {}
+
+    def elapsed(self) -> float:
+        return time.monotonic() - self.t0
+
+    def remaining(self) -> float:
+        return self.budget - self.elapsed()
+
+    def emit(self, **fields):
+        self.out.update(fields)
+        self.out["bench_elapsed_s"] = round(self.elapsed(), 1)
+        print(json.dumps(self.out), flush=True)
 
 
 def load_workload(use_sample: bool, num_frames: int):
@@ -72,7 +100,11 @@ def _probe_backend(timeout_s: int = 240) -> bool:
         return False
 
 
-def bench_single(frames, calib, use_slam_driver: bool):
+def bench_single(em: Emitter, frames, calib, use_slam_driver: bool,
+                 src: str, vo_budget_s: float):
+    """Headline VO throughput. Emits after the first timed run (so an
+    early timeout still carries a real number) and after each additional
+    run; repeats are cut adaptively from measured per-run cost."""
     from vslam_tpu.config import SlamConfig
 
     cfg = SlamConfig(
@@ -81,6 +113,18 @@ def bench_single(frames, calib, use_slam_driver: bool):
         max_landmarks=65536,
         max_keyframes=1024,
     )
+    driver = "faithful" if use_slam_driver else "streaming"
+    unit = (f"frames/sec (752x480 stereo, 1500 feats, windowed BA; {src}; "
+            f"{driver} driver; median of runs)")
+
+    def headline(runs, n, kfs, tracked):
+        runs = sorted(runs)
+        fps = runs[len(runs) // 2]
+        em.emit(metric="euroc_vo_fps", value=round(fps, 2), unit=unit,
+                vs_baseline=round(fps / TARGET_FPS, 3), frames=n,
+                keyframes=kfs, tracked_ok=tracked,
+                vo_runs=[round(r, 2) for r in runs])
+
     if use_slam_driver:
         from vslam_tpu.pipeline.slam import SlamSystem
 
@@ -96,36 +140,43 @@ def bench_single(frames, calib, use_slam_driver: bool):
         stats = slam.stats[WARMUP_FRAMES:]
         kfs = sum(1 for s in stats if s["kind"] == "keyframe")
         tracked = sum(1 for s in stats if s.get("ok"))
-        return n / elapsed, n, kfs, tracked, None, [n / elapsed]
+        headline([n / elapsed], n, kfs, tracked)
+        return
 
     from vslam_tpu.pipeline.streaming import StreamingVO
 
     import jax
 
-    # the tunneled device shows +/-30% run-to-run interference; run
-    # REPEATS fresh runs (compiles are shared via the jit cache) and
-    # report the MEDIAN as the headline, with every run recorded so the
-    # artifact carries the dispersion
-    REPEATS = 5 if os.environ.get("JAX_PLATFORMS") != "cpu" else 1
+    # the tunneled device shows +/-30% run-to-run interference; repeat
+    # fresh runs (compiles shared via the jit cache) and report the MEDIAN,
+    # with every run recorded so the artifact carries the dispersion
+    max_repeats = 5 if os.environ.get("JAX_PLATFORMS") != "cpu" else 1
     n = len(frames) - WARMUP_FRAMES
+    t_start = time.monotonic()
     runs = []
-    for _ in range(REPEATS):
+    vo = None
+    while len(runs) < max_repeats:
         vo = StreamingVO(calib, cfg, max_frames=len(frames) + 8)
-        # warmup: compile both branches (the first frames include keyframes
-        # and tracking frames) and flush the pipeline
+        # warmup: compile both branches (the first frames include
+        # keyframes and tracking frames) and flush the pipeline
         vo.run(frames[:WARMUP_FRAMES], sync_every=0)
         jax.block_until_ready(vo.state.frame)
         t0 = time.perf_counter()
         vo.run(frames[WARMUP_FRAMES:], sync_every=256)
         jax.block_until_ready(vo.state.frame)
-        runs.append(n / (time.perf_counter() - t0))
-    runs.sort()
-    res = vo.results()
-    kfs = int(res["is_keyframe"][WARMUP_FRAMES:].sum())
-    tracked = int(res["tracked_ok"][WARMUP_FRAMES:].sum())
+        run_s = time.perf_counter() - t0
+        runs.append(n / run_s)
+        res = vo.results()
+        headline(runs, n, int(res["is_keyframe"][WARMUP_FRAMES:].sum()),
+                 int(res["tracked_ok"][WARMUP_FRAMES:].sum()))
+        # adaptive cut: stop repeating when another run would overrun this
+        # sub-bench's slice of the wall budget
+        if time.monotonic() - t_start + 1.3 * run_s > vo_budget_s:
+            break
 
     # BASELINE.md tracked metric: ms per keyframe-window BA solve
-    # (build + LM-Schur solve + merge on the run's final map state)
+    # (build + LM-Schur solve + merge on the run's final map state),
+    # configured EXACTLY as the in-step window BA (incl. obs_per_lm)
     from vslam_tpu.pipeline import ba_window
 
     def one_ba():
@@ -133,7 +184,8 @@ def bench_single(frames, calib, use_slam_driver: bool):
             vo.state.kf, vo.state.lm, vo.state.intr0, vo.state.intr1,
             cam_name=vo.cam_name, huber=cfg.ba_huber_px,
             max_iters=cfg.ba_max_iters, W2=cfg.window_cams // 2,
-            Lw=cfg.window_points, O=cfg.window_obs)
+            Lw=cfg.window_points, O=cfg.window_obs,
+            obs_per_lm=cfg.ba_obs_per_lm)
         return kf2.pose_l
 
     jax.block_until_ready(one_ba())
@@ -142,12 +194,11 @@ def bench_single(frames, calib, use_slam_driver: bool):
         tb = time.perf_counter()
         jax.block_until_ready(one_ba())
         times.append((time.perf_counter() - tb) * 1e3)
-    ba_ms = sorted(times)[len(times) // 2]
-    return runs[len(runs) // 2], n, kfs, tracked, ba_ms, runs
+    em.emit(window_ba_ms=round(sorted(times)[len(times) // 2], 1))
 
 
-def bench_full_slam(num_frames: int = 288, num_features: int = 300,
-                    n_runs: int = 3):
+def bench_full_slam(em: Emitter, num_frames: int = 288,
+                    num_features: int = 300, max_runs: int = 3):
     """Full-SLAM throughput + accuracy on a workload where closures fire
     ORGANICALLY.
 
@@ -158,17 +209,16 @@ def bench_full_slam(num_frames: int = 288, num_features: int = 300,
     drift accrues organically), so the revisit arrives with genuinely
     separated gauges and the closure + pose graph + async global BA all
     execute inside the TIMED region — no synthetic gauge injection.
-    (A 1500-feature run of this world tracks tightly enough that the
-    revisit re-attaches through guided matching and no closure is needed
-    — see ATE_TABLE.md; the VO-throughput headline covers that regime.)
 
-    Also records the SLAM-vs-VO keyframe-ATE pair on the same world: the
-    reference's accuracy identity is that full SLAM beats baseline VO on
-    drifting sequences (README.md:40-48), and this puts that comparison
-    in the driver-captured artifact itself.
+    Causal evidence contract (VERDICT r3 #2): every timed run records its
+    OWN loops_closed / gba_merges / reloc counters / ATE (no max-across-
+    runs, no last-run-only), the detector gate counters (loop_stats) land
+    in the artifact, and the VO control runs with the SAME lost-frame
+    keyframe gate (cfg.kf_require_tracked) so the ATE delta isolates the
+    LC/reloc/GBA machinery.
 
     Run 0 is an untimed warmup (closure-path compiles + cache loads);
-    the median is over the timed runs, with every run recorded.
+    the headline is the median over the timed runs.
     """
     import jax
     import jax.numpy as jnp
@@ -194,12 +244,14 @@ def bench_full_slam(num_frames: int = 288, num_features: int = 300,
             # with a long-lived tail; the per-iteration Schur cost scales
             # with the PADDED obs count, and the KF branch is the
             # full-SLAM fps limiter at the pano world's 2x KF cadence).
-            # The per-landmark trim replaces the old arbitrary
-            # compaction-order drop at the window_obs cap.
+            # The per-landmark trim reduces (but does not eliminate)
+            # reliance on the compaction-order drop at the window_obs cap:
+            # 2048 landmarks x 4 obs can still exceed window_obs=4096.
             window_points=2048, window_obs=4096, ba_obs_per_lm=4,
             ba_max_iters=10,
             enable_relocalization=full, enable_loop_closure=full,
             enable_gba_after_loop=full, new_kf_min_inliers=60,
+            kf_require_tracked=True,  # same KF hygiene in both arms
             loop_closing_time_threshold=20, quality_level=0.001,
             match_max_dist_2d=30.0)
 
@@ -237,37 +289,52 @@ def bench_full_slam(num_frames: int = 288, num_features: int = 300,
         jax.block_until_ready(slam.state.frame)
         return n / (time.perf_counter() - t0), slam
 
+    cfg_note = ("streaming driver, pano revisit world (752x480, 1.75 rev), "
+                "300-feature budget -> organic drift; loop closure + GBA "
+                "after loop + relocalization ON; closure + pose graph + "
+                "async GBA inside the timed region; trained BoW, "
+                "poll_every=16; VO control shares the lost-frame KF gate")
+    t_w = time.monotonic()
     warmup_fps, _ = one_run(True)  # compiles land here, not in the runs
-    runs, loops, gbas, slam_ate = [], 0, 0, None
-    for _ in range(n_runs):
+    warm_s = time.monotonic() - t_w
+    em.emit(full_slam_warmup_fps=round(warmup_fps, 2),
+            full_slam_config=cfg_note)
+
+    run_records = []
+    while len(run_records) < max_runs:
+        t_r = time.monotonic()
         fps, slam = one_run(True)
-        runs.append(fps)
-        loops = max(loops, len(slam.loop_edges))
-        gbas = max(gbas, slam.gba_merges)
-        slam_ate = keyframe_ate(slam)
-    runs.sort()
+        run_s = time.monotonic() - t_r
+        reloc = slam.reloc_events
+        run_records.append({
+            "fps": round(fps, 2),
+            "loops_closed": len(slam.loop_edges),
+            "gba_merges": slam.gba_merges,
+            "ate_m": round(keyframe_ate(slam), 3),
+            "reloc_attempts": len(reloc),
+            "reloc_ok": sum(1 for _, ok in reloc if ok),
+            "loop_stats": dict(slam.loop_stats),
+        })
+        fps_list = sorted(r["fps"] for r in run_records)
+        em.emit(
+            full_slam_fps=fps_list[len(fps_list) // 2],
+            full_slam_runs=run_records,
+            # every-run guarantees, not best-run: min across timed runs
+            full_slam_loops_closed=min(r["loops_closed"]
+                                       for r in run_records),
+            full_slam_gba_merges=min(r["gba_merges"]
+                                     for r in run_records),
+            full_slam_ate_m=max(r["ate_m"] for r in run_records),
+        )
+        # keep enough budget for the VO control (~1 compile + 1 run)
+        if em.remaining() < 1.3 * run_s + max(60.0, 0.6 * warm_s):
+            break
     vo_fps, vo = one_run(False)
-    vo_ate = keyframe_ate(vo)
-    return {
-        "full_slam_fps": round(runs[len(runs) // 2], 2),
-        "full_slam_runs": [round(r, 2) for r in runs],
-        "full_slam_warmup_fps": round(warmup_fps, 2),
-        "full_slam_loops_closed": loops,
-        "full_slam_gba_merges": gbas,
-        "full_slam_ate_m": round(slam_ate, 3),
-        "full_slam_vo_control_ate_m": round(vo_ate, 3),
-        "full_slam_vo_control_fps": round(vo_fps, 2),
-        "full_slam_config": ("streaming driver, pano revisit world "
-                             "(752x480, 1.75 rev), 300-feature budget -> "
-                             "organic drift; loop closure + GBA after "
-                             "loop + relocalization ON; closure + pose "
-                             "graph + async GBA inside the timed region; "
-                             "trained BoW, poll_every=16; ATE pair = "
-                             "same-world SLAM vs VO control"),
-    }
+    em.emit(full_slam_vo_control_ate_m=round(keyframe_ate(vo), 3),
+            full_slam_vo_control_fps=round(vo_fps, 2))
 
 
-def bench_sample(max_frames: int = 126):
+def bench_sample(em: Emitter, max_frames: int = 126):
     """Real-image throughput: the reference's bundled EuRoC V1 JPEGs
     through the streaming driver, native JPEG decode included. The frames
     are 7-second-apart snapshots, which forces an unrepresentatively high
@@ -275,7 +342,8 @@ def bench_sample(max_frames: int = 126):
     import jax
 
     if not (os.path.isdir(SAMPLE_DIR) and os.path.exists(CALIB)):
-        return None
+        em.emit(sample_skipped="no sample data")
+        return
     frames, calib, src = load_workload(True, max_frames)
     from vslam_tpu.config import SlamConfig
     from vslam_tpu.pipeline.streaming import StreamingVO
@@ -296,20 +364,21 @@ def bench_sample(max_frames: int = 126):
         jax.block_until_ready(vo.state.frame)
         runs.append(n / (time.perf_counter() - t0))
         kfs = int(vo.results()["is_keyframe"][WARMUP_FRAMES:].sum())
-    runs.sort()
-    return {
-        "sample_fps": round(runs[len(runs) // 2], 2),
-        "sample_runs": [round(r, 2) for r in runs],
-        "sample_frames": n,
-        "sample_keyframes": kfs,
-        "sample_config": ("reference-bundled EuRoC V1 JPEGs, native "
-                          "decode, 7s frame gaps (46% KF rate)"),
-    }
+        em.emit(sample_fps=round(sorted(runs)[len(runs) // 2], 2),
+                sample_runs=[round(r, 2) for r in sorted(runs)],
+                sample_frames=n, sample_keyframes=kfs,
+                sample_config=("reference-bundled EuRoC V1 JPEGs, native "
+                               "decode, 7s frame gaps (46% KF rate)"))
+        if em.remaining() < 30:
+            break
 
 
-def bench_multiseq(num_seq: int = 8, num_frames: int = 30):
+def bench_multiseq(em: Emitter, num_seq: int = 8, num_frames: int = 116,
+                   max_runs: int = 3):
     """Sequences/sec throughput: S synthetic sequences tracked lockstep
-    (BASELINE.json configs[3])."""
+    (BASELINE.json configs[3]). >=100 timed lockstep frames per run with
+    every run recorded (VERDICT r3 #8 — the old 26-frame window was too
+    thin to carry a claim)."""
     import jax
 
     from vslam_tpu import synthetic
@@ -331,15 +400,26 @@ def bench_multiseq(num_seq: int = 8, num_frames: int = 30):
     frames = [(np.stack([s.images[f][0] for s in seqs]),
                np.stack([s.images[f][1] for s in seqs]))
               for f in range(num_frames)]
-    vo = MultiSeqVO(seqs[0].calib, num_seq, cfg)
-    warm = 4
-    vo.run(frames[:warm])
-    jax.block_until_ready(vo.pose)
-    t0 = time.perf_counter()
-    n = vo.run(frames[warm:])
-    jax.block_until_ready(vo.pose)
-    elapsed = time.perf_counter() - t0
-    return num_seq * n / elapsed  # sequence-frames per second
+    warm = 8
+    runs = []
+    while len(runs) < max_runs:
+        t_r = time.monotonic()
+        vo = MultiSeqVO(seqs[0].calib, num_seq, cfg)
+        vo.run(frames[:warm])
+        jax.block_until_ready(vo.pose)
+        t0 = time.perf_counter()
+        n = vo.run(frames[warm:])
+        jax.block_until_ready(vo.pose)
+        runs.append(num_seq * n / (time.perf_counter() - t0))
+        em.emit(
+            multiseq_seq_frames_per_sec=round(
+                sorted(runs)[len(runs) // 2], 2),
+            multiseq_runs=[round(r, 2) for r in sorted(runs)],
+            multiseq_timed_frames=n,
+            multiseq_config=(f"{num_seq} sequences lockstep, 752x480, "
+                             f"one chip, {n} timed frames/run"))
+        if em.remaining() < 1.5 * (time.monotonic() - t_r):
+            break
 
 
 def main():
@@ -362,56 +442,35 @@ def main():
                       [sys.executable, os.path.abspath(__file__),
                        "--no-probe", *sys.argv[1:]], env)
 
+    em = Emitter(budget_s=float(os.environ.get("BENCH_BUDGET_S", "900")))
     on_cpu = os.environ.get("JAX_PLATFORMS") == "cpu"
     num_frames = WARMUP_FRAMES + (24 if on_cpu else 120)
     frames, calib, src = load_workload(use_sample, num_frames)
 
-    fps, n, kfs, tracked, ba_ms, vo_runs = bench_single(frames, calib,
-                                                        use_slam_driver)
+    # headline VO: cap its slice so the full-SLAM bench (the round's
+    # flagship evidence) always gets its turn inside the budget
+    try:
+        bench_single(em, frames, calib, use_slam_driver, src,
+                     vo_budget_s=min(240.0, 0.3 * em.budget))
+    except Exception as e:  # still emit a parseable artifact
+        em.emit(metric="euroc_vo_fps", value=0.0, vs_baseline=0.0,
+                unit="frames/sec", vo_error=repr(e))
 
-    multiseq_fps = None
-    slam_out = None
-    sample_out = None
     if not on_cpu and not use_sample:
-        try:
-            slam_out = bench_full_slam()
-        except Exception as e:  # secondary metric must not kill the bench
-            print(json.dumps({"warning": f"full-slam bench failed: {e}"}),
-                  file=sys.stderr)
-        try:
-            multiseq_fps = bench_multiseq()
-        except Exception as e:
-            print(json.dumps({"warning": f"multiseq bench failed: {e}"}),
-                  file=sys.stderr)
-        try:
-            sample_out = bench_sample()
-        except Exception as e:
-            print(json.dumps({"warning": f"sample bench failed: {e}"}),
-                  file=sys.stderr)
-
-    out = {
-        "metric": "euroc_vo_fps",
-        "value": round(fps, 2),
-        "unit": (f"frames/sec (752x480 stereo, 1500 feats, windowed BA; "
-                 f"{src}; "
-                 f"{'faithful' if use_slam_driver else 'streaming'} "
-                 "driver; median of runs)"),
-        "vs_baseline": round(fps / TARGET_FPS, 3),
-        "frames": n,
-        "keyframes": kfs,
-        "tracked_ok": tracked,
-        "vo_runs": [round(r, 2) for r in vo_runs],
-    }
-    if ba_ms is not None:
-        out["window_ba_ms"] = round(ba_ms, 1)
-    if slam_out is not None:
-        out.update(slam_out)
-    if multiseq_fps is not None:
-        out["multiseq_seq_frames_per_sec"] = round(multiseq_fps, 2)
-        out["multiseq_config"] = "8 sequences lockstep, 752x480, one chip"
-    if sample_out is not None:
-        out.update(sample_out)
-    print(json.dumps(out))
+        # reserve estimates: skip a sub-bench outright when the remaining
+        # budget cannot plausibly cover its compile + first run
+        plan = [("full_slam", bench_full_slam, 240.0),
+                ("multiseq", bench_multiseq, 120.0),
+                ("sample", bench_sample, 60.0)]
+        for name, fn, need in plan:
+            if em.remaining() < need:
+                em.emit(**{f"{name}_skipped": "budget"})
+                continue
+            try:
+                fn(em)
+            except Exception as e:  # record, keep the artifact alive
+                em.emit(**{f"{name}_error": repr(e)})
+    em.emit(bench_complete=True)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,14 @@ class SlamConfig:
     # that had a gated landmark candidate — avoids near-duplicate landmarks
     # that erode the second-best ratio test
     suppress_duplicate_landmarks: bool = False
+    # block lost (coasting) frames from becoming keyframes even when
+    # relocalization is off. The reloc driver always applies this gate (a
+    # lost frame entering the map at a coasted pose poisons the recognition
+    # database — see pipeline/streaming.py); enabling it in a VO config
+    # gives a control run the SAME keyframe hygiene as the full-SLAM
+    # config, so an ATE comparison isolates the LC/reloc/GBA machinery
+    # rather than conflating it with keyframe-gate differences.
+    kf_require_tracked: bool = False
     ba_huber_px: float = 1.0               # hidden.ba_huber_width
     ba_max_iters: int = 20                 # BundleAdjustmentOptions
     ba_optimize_intrinsics: bool = False

@@ -257,8 +257,9 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
         # (bootstrap exception: with an empty map tracking cannot succeed,
         # so the first keyframe inserts unconditionally)
         bootstrap = state.kf.next_slot == 0
-        do_kf = (state.take_kf & (ok | bootstrap)) if store_features \
-            else state.take_kf
+        do_kf = ((state.take_kf & (ok | bootstrap))
+                 if (store_features or cfg.kf_require_tracked)
+                 else state.take_kf)
         kf2, lm2, pose2, last_slot, ev = lax.cond(
             do_kf, kf_branch, tr_branch, (state.kf, state.lm))
 
