@@ -31,6 +31,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (heavyweight e2e/scale runs; "
+             "the default profile is the fast inner-loop suite)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast/slow split: `pytest tests/` is the inner-loop profile
+    (minutes); `pytest tests/ --runslow` is the full suite (documented in
+    tests/README.md with measured timings)."""
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow test: pass --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
     """Drop compiled executables after each test module.

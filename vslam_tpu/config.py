@@ -135,6 +135,24 @@ class SlamConfig:
     # (a sensor blackout yields none — nothing to relocalize against).
     reloc_lost_frames: int = 2
     reloc_min_features: int = 30
+    # failed-attempt backoff (framework extra; VERDICT r3 measured 12
+    # futile multi-sync attempts in one bench run): after a failed
+    # recovery, wait reloc_backoff_frames before the next attempt,
+    # doubling per consecutive failure up to the cap; any tracked-ok
+    # frame resets the backoff.
+    reloc_backoff_frames: int = 16
+    reloc_backoff_cap_frames: int = 128
+    # sustained-loss re-bootstrap (reference semantics: a lost frame with
+    # inliers < threshold takes a keyframe at the coasted pose,
+    # slam.cpp:1374-1377 — the map keeps extending in a drifted gauge and
+    # loop closure later merges the gauges). The streaming driver blocks
+    # lost-frame keyframes so relocalization gets first shot at a clean
+    # recovery (see pipeline/streaming.py); after this many consecutive
+    # lost frames (set it beyond the reloc poll latency) a frame with
+    # >= reloc_min_features features re-bootstraps mapping anyway.
+    # 0 disables (pre-r4 behavior: a permanent reloc failure froze the
+    # map forever). Device-tunable.
+    lost_rebootstrap_frames: int = 30
     # geometric loop verification (framework extra — the reference's
     # landmark-fusion verification is an empty stub,
     # loop_closure_utils.h:424-428, and perceptually-aliased candidates
@@ -220,6 +238,8 @@ DEVICE_TUNABLE = (
     "vel_decay_factor",
     "vel_decay_inlier_floor",
     "epipolar_error_threshold",  # stereo inlier gate (slam.cpp:1148)
+    "lost_rebootstrap_frames",   # sustained-loss re-bootstrap (0 = off)
+    "reloc_min_features",        # min features to attempt reloc/rebootstrap
 )
 TUNE_INDEX = {n: i for i, n in enumerate(DEVICE_TUNABLE)}
 
@@ -237,7 +257,8 @@ HOST_TUNABLE = frozenset({
     "motion_threshold", "track_max_retries", "num_cov_threshold",
     "num_ess_threshold", "num_consistency", "loop_closing_time_threshold",
     "use_sim3", "fixed_current_kf", "sim3_solver", "ba_max_iters",
-    "reloc_max_candidates", "reloc_lost_frames", "reloc_min_features",
+    "reloc_max_candidates", "reloc_lost_frames",
+    "reloc_backoff_frames", "reloc_backoff_cap_frames",
     "enable_loop_closure", "enable_gba_after_loop",
     "enable_loop_verification", "loop_verify_min_inliers",
     "loop_verify_min_ratio", "loop_verify_px", "loop_verify_min_gain",

@@ -40,14 +40,34 @@ def relocalize(
     num_hypotheses: int = 256,
     max_retries: int = 5,
     max_candidates: int = 5,
+    frames_lost: int = 1,
 ):
-    """Returns (ok, T_w_c, inlier_pairs [(feat, landmark)])."""
+    """Returns (ok, T_w_c, inlier_pairs [(feat, landmark)], diag dict).
+
+    ``frames_lost`` scales the motion gate: the reference relocalizes on
+    EVERY lost frame (slam.cpp:1355-1359), so its gate always compares
+    against a one-frame-old motion model. A poll-granularity driver
+    arrives ``frames_lost`` frames late, with the coasted pose frozen near
+    the loss point while the true camera kept moving — the divergence
+    grows roughly linearly per lost frame, so the acceptance window must
+    too (gate = motion_threshold * frames_lost), degrading to
+    inlier-count-only acceptance on long losses (ORB-SLAM's reloc has no
+    motion gate at all; the bounded version keeps fresh-loss recoveries
+    reference-faithful).
+
+    ``diag`` records why the search ended (for the bench/metrics
+    counters): candidates tried, best PnP inlier count, best gate error.
+    """
+    diag = {"candidates": 0, "best_n": 0, "best_gate_err": None,
+            "gate": motion_threshold * max(1, int(frames_lost))}
     candidates = detector.relocalization_candidates(bow, max_candidates)
     if not candidates:
-        return False, None, []
+        return False, None, [], diag
+    diag["candidates"] = len(candidates)
 
     vel_log = lie.se3_log(vel)
     inv_cur = lie.se3_inv(current_pose)
+    eff_gate = diag["gate"]
 
     for cand in candidates:
         sources = [cand, *sorted(graph.get(cand, ()))]
@@ -72,13 +92,17 @@ def relocalize(
                 k, jnp.asarray(points), jnp.asarray(bearings),
                 jnp.asarray(valid), pnp_threshold,
                 num_hypotheses=num_hypotheses)
-            if int(n) < 10:
+            n = int(n)
+            diag["best_n"] = max(diag["best_n"], n)
+            if n < 10:
                 continue
             se3_vel = lie.se3_log(lie.se3_mul(inv_cur, T_wc))
             err = float(jnp.sum(jnp.abs(se3_vel[:3] - vel_log[:3])))
-            if err <= motion_threshold:
+            if diag["best_gate_err"] is None or err < diag["best_gate_err"]:
+                diag["best_gate_err"] = round(err, 3)
+            if err <= eff_gate:
                 inl_np = np.asarray(inl)[:len(lms)]
                 pairs = [(int(feats[i]), int(lms[i]))
                          for i in np.nonzero(inl_np)[0]]
-                return True, T_wc, pairs
-    return False, None, []
+                return True, T_wc, pairs, diag
+    return False, None, [], diag

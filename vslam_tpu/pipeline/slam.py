@@ -67,6 +67,8 @@ class SlamSystem:
         self.trajectory: List[np.ndarray] = []  # per-frame T_w_c (left)
         self.stats: List[dict] = []
         self.tracking_ok = False
+        self._lost_count = 0            # consecutive lost frames (scales
+        # the relocalization motion gate; 0 while tracking is healthy)
         self._key = jax.random.PRNGKey(cfg.seed)
 
         # observability
@@ -277,7 +279,7 @@ class SlamSystem:
         bow = self._bow_of(res.feats)
         if not bow:
             return False, None
-        ok, T_wc, _pairs = reloc_mod.relocalize(
+        ok, T_wc, _pairs, _diag = reloc_mod.relocalize(
             self.kf, self.lm, self.detector,
             res.feats.bits, res.feats.valid, res.feats.corners, bow,
             self._graph_sets(), self.track.current_pose, self.track.vel,
@@ -286,6 +288,7 @@ class SlamSystem:
             num_hypotheses=self.cfg.ransac_hypotheses,
             max_retries=self.cfg.track_max_retries,
             max_candidates=self.cfg.reloc_max_candidates,
+            frames_lost=self._lost_count + 1,
         )
         return ok, T_wc
 
@@ -450,6 +453,7 @@ class SlamSystem:
         self.trajectory.append(np.asarray(new_pose))
         self.frame += 1
         info["frame"] = frame_id
+        self._lost_count = 0 if info.get("ok") else self._lost_count + 1
         self.stats.append(info)
         if cfg.debug_checks:
             from ..utils.debug import assert_finite_state

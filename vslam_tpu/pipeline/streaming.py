@@ -93,6 +93,9 @@ class StreamState(NamedTuple):
     # values, so set_param() changes them mid-run with zero recompiles —
     # the reference's pangolin::Var sliders (slam.cpp:223-310)
     tune: jnp.ndarray = None            # [len(DEVICE_TUNABLE)] float32
+    # consecutive lost-frame count, carried on device: drives the
+    # sustained-loss re-bootstrap (cfg.lost_rebootstrap_frames)
+    lost_run: jnp.ndarray = None        # [] int32
 
 
 # keyframe event ring capacity: the poll must run at least once per
@@ -248,18 +251,34 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
                     (state.ev_count, state.ev_frame, state.ev_slot,
                      state.ev_words, state.ev_covis))
 
-        # in relocalization mode a lost frame must NOT become a keyframe:
-        # it would enter the map (and the recognition database) at the
+        # in relocalization mode a lost frame must NOT become a keyframe
+        # (while relocalization still has a shot at a clean recovery): it
+        # would enter the map (and the recognition database) at the
         # coasted garbage pose, and the reloc search would then "recover"
         # to it by matching the frame against itself. The reference never
         # hits this because its reloc runs in-frame before the KF decision
         # is consumed (slam.cpp:1348-1377).
         # (bootstrap exception: with an empty map tracking cannot succeed,
         # so the first keyframe inserts unconditionally)
+        # (sustained-loss exception: after lost_rebootstrap_frames
+        # consecutive losses — i.e. relocalization had its poll-latency
+        # window and failed — a frame with enough features re-bootstraps
+        # mapping at the coasted pose, the reference's own behavior
+        # (slam.cpp:1374-1377 keyframes lost frames unconditionally). The
+        # map extends in a drifted gauge; the revisit keyframes are NOT
+        # covisible with the old map, so loop detection treats them as a
+        # genuine loop and the closure merges the gauges — drift-then-
+        # close, the identity behind the reference's MH04/MH05 numbers.)
         bootstrap = state.kf.next_slot == 0
-        do_kf = ((state.take_kf & (ok | bootstrap))
-                 if (store_features or cfg.kf_require_tracked)
-                 else state.take_kf)
+        if store_features or cfg.kf_require_tracked:
+            reb = P("lost_rebootstrap_frames")
+            rebootstrap = ((reb > 0)
+                           & (state.lost_run.astype(jnp.float32) >= reb)
+                           & (jnp.sum(res.feats.valid).astype(jnp.float32)
+                              >= P("reloc_min_features")))
+            do_kf = state.take_kf & (ok | bootstrap | rebootstrap)
+        else:
+            do_kf = state.take_kf
         kf2, lm2, pose2, last_slot, ev = lax.cond(
             do_kf, kf_branch, tr_branch, (state.kf, state.lm))
 
@@ -292,6 +311,10 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             **feat_fields,
             kf=kf2, lm=lm2,
             cur_pose=pose2, last_pose=pose2, vel=vel,
+            # a keyframe insert restarts the loss count too: a re-bootstrap
+            # gives tracking a fresh local map to re-acquire against
+            lost_run=jnp.where(ok | do_kf, 0,
+                               state.lost_run + 1).astype(jnp.int32),
             take_kf=take_next,
             last_kf_slot=last_slot,
             frame=f + 1,
@@ -380,6 +403,7 @@ class StreamingVO:
             log_ok=jnp.zeros((F,), bool),
             log_slot=jnp.full((F,), -1, jnp.int32),
             tune=jnp.asarray(cfg.tune_vector(), dt),
+            lost_run=jnp.asarray(0, jnp.int32),
             **bow_fields,
         )
         self._tune = np.asarray(cfg.tune_vector(), np.float32)
@@ -565,6 +589,10 @@ class StreamingSLAM(StreamingVO):
         self.loop_edges: list = []
         self.rejected_loops: list = []  # (slot, cand, n_inl, n_vis)
         self.reloc_events: list = []   # (frame_polled, ok)
+        self.reloc_diags: list = []    # per-attempt diag dicts (why it
+        # succeeded/failed: candidates, best PnP inliers, best gate err)
+        self._reloc_failures = 0       # consecutive failed attempts
+        self._reloc_next_attempt = 0   # backoff: no attempt before this frame
         # wall-clock seconds per closure stage (observability: the
         # reference's equivalent is Ceres BriefReport lines scrolling by)
         self.loop_timings = collections.Counter()
@@ -642,11 +670,20 @@ class StreamingSLAM(StreamingVO):
                                   ev_words[e], ev_covis[e])
         self._ev_consumed = ev_count
         # sustained-loss detection -> relocalization (slam.cpp:1348-1367
-        # runs it per lost frame; here the poll reacts once per quantum)
+        # runs it per lost frame; here the poll reacts once per quantum).
+        # Failed attempts back off exponentially (each costs a multi-sync
+        # stall; 12 futile attempts in one r3 bench run); any tracked-ok
+        # frame resets the backoff.
         R = self.cfg.reloc_lost_frames
+        if n > 0 and ok_log[n - 1]:
+            self._reloc_failures = 0
+            self._reloc_next_attempt = 0
         if (self.cfg.enable_relocalization and self.detector.db.bow_of
-                and n >= R and not ok_log[n - R:n].any()):
-            self._try_relocalize_stream(n)
+                and n >= R and not ok_log[n - R:n].any()
+                and n >= self._reloc_next_attempt):
+            oks = np.nonzero(ok_log[:n])[0]
+            frames_lost = int(n - 1 - oks[-1]) if len(oks) else n
+            self._try_relocalize_stream(n, frames_lost)
         self._merge_gba_if_ready()
 
     def _merge_gba_if_ready(self, force: bool = False):
@@ -679,10 +716,14 @@ class StreamingSLAM(StreamingVO):
     def _graph_sets(self):
         return {s: set(d) for s, d in self.covis_host.items()}
 
-    def _try_relocalize_stream(self, frame_now: int):
+    def _try_relocalize_stream(self, frame_now: int, frames_lost: int = 1):
         """One-sync recovery: BoW candidates + PnP vs the live map, then
         patch the tracker pose in the stream state (the late-application
-        analogue of relocalize_camera, tracking.h:241-419)."""
+        analogue of relocalize_camera, tracking.h:241-419).
+
+        ``frames_lost`` scales the motion gate (see loop/relocalize.py:
+        the coasted pose diverges per lost frame, so the fresh-loss gate
+        would reject every correct late recovery)."""
         from ..loop import relocalize as reloc_mod
         from ..loop import vocabulary as vocab_mod
 
@@ -699,7 +740,7 @@ class StreamingSLAM(StreamingVO):
         bow = vocab_mod.bow_from_words(self.voc, words)
         if not bow:
             return
-        ok, T_wc, _pairs = reloc_mod.relocalize(
+        ok, T_wc, _pairs, diag = reloc_mod.relocalize(
             self.state.kf, self.state.lm, self.detector,
             jnp.asarray(bits), jnp.asarray(valid), jnp.asarray(corners),
             bow, self._graph_sets(), jnp.asarray(cur_pose),
@@ -707,10 +748,19 @@ class StreamingSLAM(StreamingVO):
             cfg.motion_threshold, self.pnp_threshold, self._next_key(),
             num_hypotheses=cfg.ransac_hypotheses,
             max_retries=cfg.track_max_retries,
-            max_candidates=cfg.reloc_max_candidates)
+            max_candidates=cfg.reloc_max_candidates,
+            frames_lost=frames_lost)
         self.reloc_events.append((frame_now, bool(ok)))
+        diag.update(frame=frame_now, frames_lost=frames_lost)
+        self.reloc_diags.append(diag)
         if not ok:
+            self._reloc_failures += 1
+            self._reloc_next_attempt = frame_now + min(
+                cfg.reloc_backoff_frames * (2 ** (self._reloc_failures - 1)),
+                cfg.reloc_backoff_cap_frames)
             return
+        self._reloc_failures = 0
+        self._reloc_next_attempt = 0
         # patch the tracker: recovered pose, motion model at rest, and a
         # keyframe request so the next frame re-anchors the track (the
         # reference's reloc'd frame re-enters the normal KF decision).
