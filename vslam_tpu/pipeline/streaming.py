@@ -606,6 +606,25 @@ class StreamingSLAM(StreamingVO):
         self._pending_gba = None
         self.gba_merges = 0
         self._host_key = jax.random.PRNGKey(self.cfg.seed + 1)
+        # the poll's d2h is ONE packed int32 buffer: device_get of a pytree
+        # transfers each leaf separately, and through the tunnel EVERY
+        # transfer pays a completion-polling quantum (~27.5 ms) — seven
+        # leaves made the poll cost ~0.2 s of pure quantum overhead before
+        # any device work drained (r4 measurement; the r3 "one blocking
+        # fetch" comment was wrong about pytree fetches being one transfer)
+        F, E = self.max_frames, EV_CAP
+        N, K = self.cfg.num_features, self.cfg.max_keyframes
+        self._poll_splits = np.cumsum(
+            [2, F, E, E, E * N])  # then ev_covis [E*K]
+
+        def pack(st: StreamState):
+            return jnp.concatenate([
+                jnp.stack([st.frame, st.ev_count]),
+                st.log_ok.astype(jnp.int32),
+                st.ev_frame, st.ev_slot,
+                st.ev_words.reshape(-1), st.ev_covis.reshape(-1)])
+
+        self._pack_poll = jax.jit(pack)
 
     def _next_key(self):
         self._host_key, k = jax.random.split(self._host_key)
@@ -648,15 +667,16 @@ class StreamingSLAM(StreamingVO):
         import time as _time
 
         t_poll = _time.perf_counter()
-        n, ok_log, ev_count, ev_frame, ev_slot, ev_words, ev_covis = \
-            jax.device_get(
-                (self.state.frame, self.state.log_ok, self.state.ev_count,
-                 self.state.ev_frame, self.state.ev_slot,
-                 self.state.ev_words, self.state.ev_covis))
+        blob = jax.device_get(self._pack_poll(self.state))
+        head, ok_log, ev_frame, ev_slot, ev_words, ev_covis = \
+            np.split(blob, self._poll_splits)
+        n, ev_count = int(head[0]), int(head[1])
+        ok_log = ok_log.astype(bool)
+        E = EV_CAP
+        ev_words = ev_words.reshape(E, -1)
+        ev_covis = ev_covis.reshape(E, -1)
         self.loop_timings["poll_fetch"] += _time.perf_counter() - t_poll
-        n = int(n)
         self._polled_to = n
-        ev_count = int(ev_count)
         # ring overflow can only happen if polls are rarer than EV_CAP
         # keyframes (asserted against in __init__); drop-oldest keeps the
         # detector consistent if it ever does
