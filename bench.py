@@ -156,7 +156,9 @@ def bench_single(em: Emitter, frames, calib, use_slam_driver: bool,
     runs = []
     vo = None
     while len(runs) < max_repeats:
-        vo = StreamingVO(calib, cfg, max_frames=len(frames) + 8)
+        # chunk=4: one dispatch + one h2d per 4 frames (r4 measured
+        # ~2x streaming throughput through the tunnel; see _make_step)
+        vo = StreamingVO(calib, cfg, max_frames=len(frames) + 8, chunk=4)
         # warmup: compile both branches (the first frames include
         # keyframes and tracking frames) and flush the pipeline
         vo.run(frames[:WARMUP_FRAMES], sync_every=0)
@@ -274,10 +276,11 @@ def bench_full_slam(em: Emitter, num_frames: int = 288,
     def one_run(full):
         if full:
             slam = StreamingSLAM(seq.calib, make_cfg(True), voc,
-                                 max_frames=num_frames + 8, poll_every=16)
+                                 max_frames=num_frames + 8, poll_every=16,
+                                 chunk=4)
         else:
             slam = StreamingVO(seq.calib, make_cfg(False),
-                               max_frames=num_frames + 8)
+                               max_frames=num_frames + 8, chunk=4)
         slam.run(seq.images[:W])
         if full:
             slam.poll()
@@ -334,7 +337,7 @@ def bench_full_slam(em: Emitter, num_frames: int = 288,
             full_slam_vo_control_fps=round(vo_fps, 2))
 
 
-def bench_sample(em: Emitter, max_frames: int = 126):
+def bench_sample(em: Emitter, max_frames: int = 124):
     """Real-image throughput: the reference's bundled EuRoC V1 JPEGs
     through the streaming driver, native JPEG decode included. The frames
     are 7-second-apart snapshots, which forces an unrepresentatively high
@@ -356,7 +359,7 @@ def bench_sample(em: Emitter, max_frames: int = 126):
     runs = []
     kfs = 0
     for _ in range(2):
-        vo = StreamingVO(calib, cfg, max_frames=len(frames) + 8)
+        vo = StreamingVO(calib, cfg, max_frames=len(frames) + 8, chunk=4)
         vo.run(frames[:WARMUP_FRAMES], sync_every=0)
         jax.block_until_ready(vo.state.frame)
         t0 = time.perf_counter()

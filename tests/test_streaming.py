@@ -199,3 +199,18 @@ def test_streaming_culling_under_pressure(seq):
     n_valid = int(jax.device_get(vo.state.lm.valid.sum()))
     assert n_valid <= cfg.max_landmarks
     assert n_valid > 50, "map collapsed instead of recycling"
+
+
+def test_chunked_dispatch_parity(stream_run, seq):
+    """chunk=4 (one dispatch/h2d per 4 frames via lax.scan) must be
+    bit-identical to the per-frame path — same scan body, same state; only
+    the dispatch granularity changes. A 22-frame run also exercises the
+    non-divisible tail (2 frames through the per-frame program)."""
+    vo4 = StreamingVO(seq.calib, small_config(), max_frames=64, chunk=4)
+    vo4.run(seq.images[:22])
+    res4 = vo4.results()
+    res1 = stream_run.results()
+    np.testing.assert_array_equal(res4["trajectory"],
+                                  res1["trajectory"][:22])
+    np.testing.assert_array_equal(res4["is_keyframe"],
+                                  res1["is_keyframe"][:22])

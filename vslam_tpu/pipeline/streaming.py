@@ -105,7 +105,8 @@ EV_CAP = 64
 
 
 def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
-               voc_depth: int = 0, store_features: bool = False):
+               voc_depth: int = 0, store_features: bool = False,
+               chunk: int = 1):
     """Build the fused per-frame step as a donated jitted function.
 
     ``voc_depth > 0`` compiles the BoW branch in (tree descent + word /
@@ -116,7 +117,16 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
     The step takes the stereo pair as ONE packed [2, H, W] array: the
     tunnel serializes h2d transfers with executions in its queue, so one
     upload per frame (instead of two) measurably raises throughput; the
-    L/R split is a free slice inside the program."""
+    L/R split is a free slice inside the program.
+
+    ``chunk > 1`` returns a frame-batched variant that lax.scans the step
+    over a [chunk, 2, H, W] stack — ONE dispatch and ONE h2d per ``chunk``
+    frames. Through the tunnel each enqueued op carries fixed relay/host
+    overhead that r4 profiling measured at roughly half the per-frame wall
+    budget (device compute ~13-15 ms/frame vs 24-58 ms/frame wall), so
+    batching dispatches is the single biggest streaming-throughput lever.
+    The keyframe ``lax.cond`` stays a true branch inside the scan body (no
+    vmap, so no both-branches execution)."""
 
     def step(state: StreamState, imgs) -> StreamState:
         img_l, img_r = imgs[0], imgs[1]
@@ -329,7 +339,13 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             ev_words=ev[3], ev_covis=ev[4],
         )
 
-    return jax.jit(step, donate_argnums=(0,))
+    if chunk == 1:
+        return jax.jit(step, donate_argnums=(0,))
+
+    def chunk_step(state: StreamState, imgs) -> StreamState:
+        return lax.scan(lambda s, im: (step(s, im), None), state, imgs)[0]
+
+    return jax.jit(chunk_step, donate_argnums=(0,))
 
 
 class StreamingVO:
@@ -339,7 +355,8 @@ class StreamingVO:
                  config: Optional[SlamConfig] = None,
                  max_frames: int = 8192,
                  vocabulary=None,
-                 store_features: bool = False):
+                 store_features: bool = False,
+                 chunk: int = 1):
         import math
 
         self.cfg = cfg = config or SlamConfig()
@@ -348,13 +365,26 @@ class StreamingVO:
         self.max_frames = max_frames
         self.voc = vocabulary
         self.store_features = store_features
+        self.chunk = max(1, int(chunk))
         self.pnp_threshold = 1.0 - math.cos(
             math.atan(cfg.pnp_inlier_thresh_px / 500.0))
         self._step = _make_step(
             cfg, self.cam_name, calib.width, calib.height,
             voc_depth=vocabulary.depth if vocabulary is not None else 0,
-            store_features=store_features)
+            store_features=store_features, chunk=self.chunk)
+        # per-frame variant for process_frame() and run() tails, compiled
+        # lazily (chunk == 1 shares the main program)
+        self._step1 = self._step if self.chunk == 1 else None
         self.reset()
+
+    def _single_step(self):
+        if self._step1 is None:
+            self._step1 = _make_step(
+                self.cfg, self.cam_name, self.calib.width,
+                self.calib.height,
+                voc_depth=self.voc.depth if self.voc is not None else 0,
+                store_features=self.store_features, chunk=1)
+        return self._step1
 
     def reset(self):
         cfg = self.cfg
@@ -456,8 +486,16 @@ class StreamingVO:
 
     def process_frame(self, img_l, img_r):
         """Enqueue one frame. Non-blocking: no host sync happens here."""
-        self.state = self._step(self.state,
-                                jnp.asarray(self._pack(img_l, img_r)))
+        self.state = self._single_step()(self.state,
+                                         jnp.asarray(self._pack(img_l,
+                                                                img_r)))
+
+    def _pack_chunk(self, frame_slice):
+        """Stack ``chunk`` stereo pairs into one [C, 2, H, W] upload."""
+        arrs = [self._pack(a, b) for a, b in frame_slice]
+        if all(isinstance(x, np.ndarray) for x in arrs):
+            return jax.device_put(np.stack(arrs))
+        return jnp.stack([jnp.asarray(x) for x in arrs])
 
     def _uploader_pool(self):
         """Threaded device-put prefetcher.
@@ -486,10 +524,33 @@ class StreamingVO:
         occasionally blocks on the frame counter so the enqueue queue can't
         run unboundedly ahead of the device.
         """
-        del chunk  # kept for API compat
+        del chunk  # driver-level batching is set via __init__(chunk=...)
         n = len(frames)
+        C = self.chunk
         pool = self._uploader_pool()
         futs = {}
+
+        if C > 1:
+            ngroups = n // C
+            P = max(1, prefetch // C)
+
+            def putg(g):
+                futs[g] = pool.submit(self._pack_chunk,
+                                      frames[g * C:(g + 1) * C])
+
+            for g in range(min(P, ngroups)):
+                putg(g)
+            for g in range(ngroups):
+                batch = futs.pop(g).result()
+                self.state = self._step(self.state, batch)
+                if g + P < ngroups:
+                    putg(g + P)
+                if sync_every and ((g + 1) * C) % sync_every < C:
+                    jax.block_until_ready(self.state.frame)
+            for i in range(ngroups * C, n):  # tail: per-frame program
+                self.state = self._single_step()(
+                    self.state, jax.device_put(self._pack(*frames[i])))
+            return n
 
         def put(i):
             futs[i] = pool.submit(
@@ -567,14 +628,16 @@ class StreamingSLAM(StreamingVO):
     """
 
     def __init__(self, calib: Calibration, config: Optional[SlamConfig],
-                 vocabulary, max_frames: int = 8192, poll_every: int = 16):
+                 vocabulary, max_frames: int = 8192, poll_every: int = 16,
+                 chunk: int = 1):
         if vocabulary is None:
             raise ValueError("StreamingSLAM requires a pretrained "
                              "vocabulary (loop.vocabulary.train or "
                              "load_dbow2_text)")
         cfg = config or SlamConfig()
         super().__init__(calib, cfg, max_frames, vocabulary=vocabulary,
-                         store_features=cfg.enable_relocalization)
+                         store_features=cfg.enable_relocalization,
+                         chunk=chunk)
         from ..loop.detector import LoopDetector
 
         import collections
@@ -582,6 +645,10 @@ class StreamingSLAM(StreamingVO):
         if poll_every > EV_CAP:
             raise ValueError(f"poll_every={poll_every} can outrun the "
                              f"keyframe event ring (EV_CAP={EV_CAP})")
+        if self.chunk > 1 and poll_every % self.chunk:
+            raise ValueError(f"poll_every={poll_every} must be a multiple "
+                             f"of chunk={self.chunk} (polls land on chunk "
+                             "boundaries)")
         self.poll_every = poll_every
         self.detector = LoopDetector(self.cfg.num_consistency)
         self.covis_host: dict = {}
@@ -634,8 +701,32 @@ class StreamingSLAM(StreamingVO):
             chunk: int = 0):
         del sync_every, chunk  # polling provides the queue bound
         n = len(frames)
+        C = self.chunk
         pool = self._uploader_pool()
         futs = {}
+
+        if C > 1:
+            ngroups = n // C
+            P = max(1, prefetch // C)
+
+            def putg(g):
+                futs[g] = pool.submit(self._pack_chunk,
+                                      frames[g * C:(g + 1) * C])
+
+            for g in range(min(P, ngroups)):
+                putg(g)
+            for g in range(ngroups):
+                batch = futs.pop(g).result()
+                self.state = self._step(self.state, batch)
+                if g + P < ngroups:
+                    putg(g + P)
+                if ((g + 1) * C) % self.poll_every == 0:
+                    self.poll()
+            for i in range(ngroups * C, n):
+                self.state = self._single_step()(
+                    self.state, jax.device_put(self._pack(*frames[i])))
+            self.poll()
+            return n
 
         def put(i):
             futs[i] = pool.submit(
