@@ -50,6 +50,46 @@ def _pow2(n: int, lo: int = 16) -> int:
     return p
 
 
+@jax.jit
+def _rigid_align_device(pose_l, pose_r, gsel, gvalid, T_cand, sim3,
+                        T_cur_pre, T_0_1):
+    """Rigid live-group correction as ONE device program.
+
+    Eager-mode se3 math here costs ~10 primitive dispatches per lie op
+    through the tunnel — r4 measured the un-jitted align block at ~0.6 s
+    per closure vs ~0.05 s for the actual pose-graph solve."""
+    T_corr = lie.se3_normalize(lie.se3_mul(
+        lie.se3_mul(T_cand, sim3), lie.se3_inv(T_cur_pre)))
+    K = pose_l.shape[0]
+    moved = jax.vmap(lambda T: lie.se3_mul(T_corr, T))(
+        pose_l[jnp.clip(gsel, 0, K - 1)])
+    tgt = jnp.where(gvalid, gsel, K)
+    pose_l2 = pose_l.at[tgt].set(moved, mode="drop")
+    pose_r2 = pose_r.at[tgt].set(
+        jax.vmap(lambda T: lie.se3_mul(T, T_0_1))(moved), mode="drop")
+    return pose_l2, pose_r2, T_corr
+
+
+@jax.jit
+def corr_apply(T_cand, sim3, T_cur_kf, cur_pose, last_pose):
+    """Tracker-side gauge correction (one jitted call for the drivers):
+    T_corr = (T_w_cand * sim3) * T_w_cur^-1 applied to the live tracker
+    poses. Returns (T_corr @ cur_pose, T_corr @ last_pose)."""
+    T_corr = lie.se3_normalize(lie.se3_mul(
+        lie.se3_mul(T_cand, sim3), lie.se3_inv(T_cur_kf)))
+    return lie.se3_mul(T_corr, cur_pose), lie.se3_mul(T_corr, last_pose)
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _edge_measurements(poses_pre, ei, ej, sim3, e_loop):
+    """Batched log-relative-pose measurements (padded rows are masked by
+    edge_valid downstream); row ``e_loop`` carries the loop edge
+    log(sim3^-1)."""
+    meas = jax.vmap(lambda Ti, Tj: lie.se3_log(
+        lie.se3_mul(lie.se3_inv(Ti), Tj)))(poses_pre[ei], poses_pre[ej])
+    return meas.at[e_loop].set(lie.se3_log(lie.se3_inv(sim3)))
+
+
 def _batched_matches(
     kf: KeyframeState,
     cur_bits,
@@ -509,14 +549,18 @@ def loop_closure(
     drift it makes ATE WORSE because the accumulated error is pulled into
     the historically-correct ring instead of out of the drifted tail.
     """
-    n_kf = int(kf.next_slot)
-    poses_pre = np.asarray(kf.pose_l)  # pre-align snapshot (measurements)
+    import time as _time
 
-    # ---- rigid live-side alignment ----
-    T_cur_pre = jnp.asarray(poses_pre[cur_slot])
-    T_cur_aligned = lie.se3_mul(kf.pose_l[cand_slot], sim3)
-    T_corr = lie.se3_normalize(
-        lie.se3_mul(T_cur_aligned, lie.se3_inv(T_cur_pre)))
+    t_stats = {}
+    t0 = _time.perf_counter()
+    n_kf = int(kf.next_slot)
+    # pre-align snapshot for the measurements: the functional state makes
+    # this free — keep the device array handle, no d2h sync at all
+    poses_pre = kf.pose_l
+    t_stats["t_snapshot_s"] = _time.perf_counter() - t0
+
+    # ---- rigid live-side alignment (one jitted program) ----
+    t0 = _time.perf_counter()
     group = {int(cur_slot)}
     group.update(int(s) for s in covis.get(cur_slot, {}))
     if live_slots is not None:
@@ -525,15 +569,18 @@ def loop_closure(
     group.difference_update(int(s) for s in covis.get(cand_slot, {}))
     group = sorted(s for s in group if 0 <= s < n_kf)
 
-    gsel = jnp.asarray(np.asarray(group, np.int32))
-    moved_l = jax.vmap(lambda T: lie.se3_mul(T_corr, T))(kf.pose_l[gsel])
-    pose_l = kf.pose_l.at[gsel].set(moved_l)
-    pose_r = kf.pose_r.at[gsel].set(
-        jax.vmap(lambda T: lie.se3_mul(T, T_0_1))(moved_l))
+    gcap = _pow2(len(group), lo=32)
+    gsel = jnp.asarray(np.pad(group, (0, gcap - len(group))).astype(
+        np.int32))
+    gvalid = jnp.asarray(np.arange(gcap) < len(group))
+    pose_l, pose_r, _T_corr = _rigid_align_device(
+        kf.pose_l, kf.pose_r, gsel, gvalid, kf.pose_l[cand_slot],
+        jnp.asarray(sim3), jnp.asarray(poses_pre[cur_slot]), T_0_1)
     kf = kf._replace(pose_l=pose_l, pose_r=pose_r)
-    poses_post = np.asarray(kf.pose_l)
+    t_stats["t_align_s"] = _time.perf_counter() - t0
 
     # ---- assemble the essential graph (all measurements pre-align) ----
+    t0 = _time.perf_counter()
     parent = np.asarray(kf.parent)
     edges_i, edges_j = [], []
 
@@ -550,21 +597,9 @@ def loop_closure(
             if w > essential_threshold and i < j < n_kf:
                 edges_i.append(i)
                 edges_j.append(j)
-    # all edge measurements in ONE batched device call (a per-edge
-    # log_rel loop costs 2 tunnel round-trips per edge — seconds per
-    # closure at realistic graph sizes)
-    ei = np.asarray(edges_i, np.int32)
-    ej = np.asarray(edges_j, np.int32)
-    pp = jnp.asarray(poses_pre)
-    meas_batch, loop_meas = jax.device_get((
-        jax.vmap(lambda Ti, Tj: lie.se3_log(
-            lie.se3_mul(lie.se3_inv(Ti), Tj)))(pp[ei], pp[ej]),
-        lie.se3_log(lie.se3_inv(jnp.asarray(sim3)))))
-    meas = list(meas_batch)
-    # loop edge: log(sim3^-1) between current and candidate
-    edges_i.append(cur_slot)
-    edges_j.append(cand_slot)
-    meas.append(np.asarray(loop_meas))
+    # loop edge: log(sim3^-1) between current and candidate (last row)
+    edges_i.append(int(cur_slot))
+    edges_j.append(int(cand_slot))
 
     E = len(edges_i)
     K = _pow2(n_kf)
@@ -572,6 +607,14 @@ def loop_closure(
     # and a fresh E_pad shape recompiles the whole pose-graph solver
     # (~0.5 s) — lo=256 makes most realistic graphs share one program
     E_pad = _pow2(E, lo=256)
+    ei = np.pad(np.asarray(edges_i, np.int32), (0, E_pad - E))
+    ej = np.pad(np.asarray(edges_j, np.int32), (0, E_pad - E))
+    # all edge measurements in ONE jitted device call, result stays on
+    # device (a per-edge log_rel loop costs 2 tunnel round-trips per edge;
+    # even the batched-but-eager form paid ~30 primitive dispatches)
+    meas = _edge_measurements(jnp.asarray(poses_pre), jnp.asarray(ei),
+                              jnp.asarray(ej), jnp.asarray(sim3),
+                              jnp.asarray(E - 1, jnp.int32))
     # anchors: the (corrected) live group and the candidate; the chain
     # between them absorbs the disagreement
     fixed = np.arange(K) >= n_kf
@@ -580,19 +623,23 @@ def loop_closure(
         fixed[s] = True
     if not fixed_current:
         fixed[cur_slot] = False
+    cap = kf.pose_l.shape[0]
+    take = min(K, cap)
+    pose_pad = kf.pose_l[:take]
+    if K > take:
+        pose_pad = jnp.concatenate([
+            pose_pad, jnp.tile(lie.identity_pose(pose_pad.dtype),
+                               (K - take, 1))])
     prob = pose_graph.PoseGraphProblem(
-        poses=jnp.asarray(
-            np.concatenate([poses_post[:n_kf],
-                            np.tile(np.asarray(lie.identity_pose()),
-                                    (K - n_kf, 1))]).astype(np.float32)),
+        poses=pose_pad,
         fixed=jnp.asarray(fixed),
-        edge_i=jnp.asarray(np.pad(edges_i, (0, E_pad - E)).astype(np.int32)),
-        edge_j=jnp.asarray(np.pad(edges_j, (0, E_pad - E)).astype(np.int32)),
-        edge_meas=jnp.asarray(
-            np.pad(np.stack(meas), ((0, E_pad - E), (0, 0))).astype(
-                np.float32)),
+        edge_i=jnp.asarray(ei),
+        edge_j=jnp.asarray(ej),
+        edge_meas=meas,
         edge_valid=jnp.asarray(np.arange(E_pad) < E),
     )
+    t_stats["t_graph_s"] = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
     if K <= 1024:
         opt_poses, stats = pose_graph.solve_pose_graph(
             prob, huber=huber, max_iters=max_iters)
@@ -602,9 +649,16 @@ def loop_closure(
 
         opt_poses, stats = solve_pose_graph_cg(
             prob, huber=huber, max_iters=max_iters)
+    t_stats["t_solve_s"] = _time.perf_counter() - t0
 
-    # scatter back + stereo + landmark updates
-    new_left = np.asarray(kf.pose_l).copy()
-    new_left[:n_kf] = np.asarray(opt_poses)[:n_kf]
-    kf, lm = _apply_poses(kf, lm, jnp.asarray(new_left), T_0_1)
+    # scatter back + stereo + landmark updates (device-side; rows >= n_kf
+    # keep their existing values)
+    t0 = _time.perf_counter()
+    ids = jnp.arange(opt_poses.shape[0])
+    new_left = kf.pose_l.at[jnp.where(ids < n_kf, ids, cap)].set(
+        opt_poses, mode="drop")
+    kf, lm = _apply_poses(kf, lm, new_left, T_0_1)
+    jax.block_until_ready(kf.pose_l)
+    t_stats["t_apply_s"] = _time.perf_counter() - t0
+    stats = dict(stats, **{k: round(v, 3) for k, v in t_stats.items()})
     return kf, lm, stats

@@ -655,6 +655,7 @@ class StreamingSLAM(StreamingVO):
         self.frame_of_slot: dict = {}
         self.loop_edges: list = []
         self.rejected_loops: list = []  # (slot, cand, n_inl, n_vis)
+        self.closure_stats: list = []  # per-closure sub-stage wall times
         self.reloc_events: list = []   # (frame_polled, ok)
         self.reloc_diags: list = []    # per-attempt diag dicts (why it
         # succeeded/failed: candidates, best PnP inliers, best gate err)
@@ -1001,11 +1002,12 @@ class StreamingSLAM(StreamingVO):
             # anchors (see loop_closure docstring for why this direction)
             newer = [s for s, f in self.frame_of_slot.items()
                      if f >= self.frame_of_slot[slot]]
-            T_corr = lie.se3_normalize(lie.se3_mul(
-                lie.se3_mul(self.state.kf.pose_l[cand], sim3),
-                lie.se3_inv(self.state.kf.pose_l[slot])))
+            new_cur, new_last = closure_mod.corr_apply(
+                self.state.kf.pose_l[cand], jnp.asarray(sim3),
+                self.state.kf.pose_l[slot], self.state.cur_pose,
+                self.state.last_pose)
             with _T("pose_graph"):
-                kf2, lm2, _ = closure_mod.loop_closure(
+                kf2, lm2, cl_stats = closure_mod.loop_closure(
                     self.state.kf, self.state.lm, slot, cand, sim3,
                     self.covis_host, self.state.T_0_1,
                     essential_threshold=cfg.num_ess_threshold,
@@ -1013,10 +1015,11 @@ class StreamingSLAM(StreamingVO):
             # the tracker lives in the corrected gauge now (vel is a
             # relative pose — invariant under the left world correction)
             self.state = self.state._replace(
-                kf=kf2, lm=lm2,
-                cur_pose=lie.se3_mul(T_corr, self.state.cur_pose),
-                last_pose=lie.se3_mul(T_corr, self.state.last_pose))
+                kf=kf2, lm=lm2, cur_pose=new_cur, last_pose=new_last)
             self.loop_edges.append((slot, cand))
+            self.closure_stats.append(
+                {k: v for k, v in cl_stats.items()
+                 if k.startswith("t_")})
             self.loop_stats["closed"] += 1
             self._last_closure_frame = frame_idx
             if cfg.enable_gba_after_loop:
