@@ -316,7 +316,9 @@ def bench_full_slam(em: Emitter, num_frames: int = 288,
             "ate_m": round(keyframe_ate(slam), 3),
             "reloc_attempts": len(reloc),
             "reloc_ok": sum(1 for _, ok in reloc if ok),
+            "reloc_diags": slam.reloc_diags,
             "loop_stats": dict(slam.loop_stats),
+            "closure_stage_s": slam.closure_stats,
         })
         fps_list = sorted(r["fps"] for r in run_records)
         em.emit(

@@ -65,6 +65,12 @@ class SlamConfig:
     kf_require_tracked: bool = False
     ba_huber_px: float = 1.0               # hidden.ba_huber_width
     ba_max_iters: int = 20                 # BundleAdjustmentOptions
+    # async global BA budget (GlobalBundleAdjustmentOptions, 20 iters in
+    # the reference): the solve shares the single chip's queue with the
+    # stream, so its iteration budget is streaming-throughput-visible;
+    # both solvers also early-terminate on function tolerance.
+    gba_max_iters: int = 15
+    gba_cg_iters: int = 25
     ba_optimize_intrinsics: bool = False
     epipolar_error_threshold: float = 1e-3  # slam.cpp:1148
     ransac_min_matches: int = 10           # vo_utils.h:181
@@ -257,6 +263,7 @@ HOST_TUNABLE = frozenset({
     "motion_threshold", "track_max_retries", "num_cov_threshold",
     "num_ess_threshold", "num_consistency", "loop_closing_time_threshold",
     "use_sim3", "fixed_current_kf", "sim3_solver", "ba_max_iters",
+    "gba_max_iters", "gba_cg_iters",
     "reloc_max_candidates", "reloc_lost_frames",
     "reloc_backoff_frames", "reloc_backoff_cap_frames",
     "enable_loop_closure", "enable_gba_after_loop",

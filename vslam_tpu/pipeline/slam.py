@@ -620,7 +620,8 @@ class SlamSystem:
             self._merge_pending_ba(force=True)
             self._pending_gba = ba_global.dispatch_global_ba(
                 self.kf, self.lm, self.intr0, self.intr1,
-                cam_name=self.cam_name, huber=cfg.ba_huber_px)
+                cam_name=self.cam_name, huber=cfg.ba_huber_px,
+                max_iters=cfg.gba_max_iters, cg_iters=cfg.gba_cg_iters)
 
         # current pose = the new keyframe's (pre-BA) pose, exactly like the
         # reference reading cameras[fcidl] while BA runs in the background

@@ -1034,4 +1034,6 @@ class StreamingSLAM(StreamingVO):
                     self._pending_gba = ba_global.dispatch_global_ba(
                         self.state.kf, self.state.lm, self.state.intr0,
                         self.state.intr1, cam_name=self.cam_name,
-                        huber=cfg.ba_huber_px)
+                        huber=cfg.ba_huber_px,
+                        max_iters=cfg.gba_max_iters,
+                        cg_iters=cfg.gba_cg_iters)
