@@ -60,14 +60,21 @@ def run_vo(seq, seed, degraded=False):
 _pano_cache = {}
 
 
-def run_pano(full_slam: bool, seed: int, num_features: int = 600):
+def run_pano(full_slam: bool, seed: int, num_features: int = 600,
+             matched_hygiene: bool = False):
     """Pano-world run: ``full_slam`` = the reference's full default
     config (loop closure + GBA after loop + relocalization,
     slam.cpp:244-247); otherwise baseline VO.
 
     ``num_features=600`` tracks the world tightly (consistent map — the
     SLAM row must not degrade it); ``num_features=300`` starves the
-    geometry so drift accrues ORGANICALLY and closures must cut it."""
+    geometry so drift accrues ORGANICALLY and closures must cut it.
+
+    ``matched_hygiene`` (VO only) applies the full-SLAM configuration's
+    lost-frame keyframe gate (cfg.kf_require_tracked) to the VO control,
+    so the SLAM-vs-VO delta isolates the LC/reloc/GBA machinery; the
+    plain VO row keeps the reference's semantics (a lost frame keyframes
+    immediately at the coasted pose, slam.cpp:1374-1377)."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -89,6 +96,7 @@ def run_pano(full_slam: bool, seed: int, num_features: int = 600):
         window_points=2048, window_obs=6144, ba_max_iters=10,
         enable_relocalization=full_slam, enable_loop_closure=full_slam,
         enable_gba_after_loop=full_slam, new_kf_min_inliers=60,
+        kf_require_tracked=matched_hygiene,
         loop_closing_time_threshold=20, quality_level=0.001,
         match_max_dist_2d=30.0, seed=seed)
     if full_slam:
@@ -104,9 +112,9 @@ def run_pano(full_slam: bool, seed: int, num_features: int = 600):
             vocab_mod.set_idf_weights(voc, pool)
             _pano_cache[num_features] = voc
         slam = StreamingSLAM(seq.calib, cfg, _pano_cache[num_features],
-                             max_frames=288, poll_every=16)
+                             max_frames=288, poll_every=16, chunk=4)
     else:
-        slam = StreamingVO(seq.calib, cfg, max_frames=288)
+        slam = StreamingVO(seq.calib, cfg, max_frames=288, chunk=4)
     slam.run(seq.images)
     if full_slam:
         slam._merge_gba_if_ready(force=slam._pending_gba is not None)
@@ -286,17 +294,26 @@ def main():
     for nf, world in ((600, "pano orbit 1.75 rev (consistent tracking)"),
                       (300, "pano orbit 1.75 rev (organic drift, 300 "
                             "feats)")):
-        for full in (False, True):
+        arms = [(False, False), (True, False)]
+        if nf == 300:
+            # matched-hygiene VO control (same lost-frame keyframe gate
+            # as the full configuration): isolates LC/reloc/GBA
+            arms.append((False, True))
+        for full, hygiene in arms:
             vals, loops = [], 0
             for s in range(args.seeds):
-                r, nl = run_pano(full, seed=s, num_features=nf)
+                r, nl = run_pano(full, seed=s, num_features=nf,
+                                 matched_hygiene=hygiene)
                 vals.append(r)
                 loops += nl
-                print(f"  pano nf={nf} {'SLAM' if full else 'VO'} "
+                print(f"  pano nf={nf} "
+                      f"{'SLAM' if full else 'VO' + ('/gated' if hygiene else '')} "
                       f"seed {s}: {r:.3f} m loops={nl}", flush=True)
             cfg_name = ("full SLAM (LC+GBA+reloc, "
                         f"{loops} closures/{args.seeds} seeds)"
-                        if full else "baseline VO")
+                        if full else
+                        ("VO control, matched KF hygiene" if hygiene
+                         else "baseline VO"))
             rows.append((world, cfg_name, vals))
 
     lines = [

@@ -61,9 +61,12 @@ def main():
               f"(K={prob.poses.shape[0]}, L={prob.points.shape[0]}, "
               f"O={prob.obs_cam.shape[0]})", flush=True)
 
-        # warm (compile) with a 1-iter solve, then timed full solve
+        # warm (compile) with the SAME static config as the timed solve —
+        # max_iters is a static argument, so a different warmup iteration
+        # count would leave the compile inside the timed region
         _, _, s0 = ba_cg.solve_ba_cg(prob, cam_name="pinhole", huber=2.0,
-                                     max_iters=1, cg_iters=args.cg_iters)
+                                     max_iters=args.lm_iters,
+                                     cg_iters=args.cg_iters)
         jax.block_until_ready(s0["final_cost"])
         t0 = time.perf_counter()
         poses, points, stats = ba_cg.solve_ba_cg(

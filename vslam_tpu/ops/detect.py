@@ -22,24 +22,6 @@ from jax import lax
 
 from .pattern import EDGE_THRESHOLD
 
-SOBEL_X = jnp.array(
-    [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], dtype=jnp.float32
-)
-SOBEL_Y = SOBEL_X.T
-
-
-def _conv2same(img, kernel):
-    """img [H, W] f32, kernel [kh, kw] -> same-size 'SAME' conv."""
-    out = lax.conv_general_dilated(
-        img[None, None, :, :],
-        kernel[None, None, :, :],
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[0, 0]
-
-
 def _shift(a, dy: int, dx: int):
     """a translated so out[y, x] = a[y+dy, x+dx], zero outside (SAME pad)."""
     h, w = a.shape
