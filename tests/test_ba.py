@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vslam_tpu.geometry import cameras, lie
 from vslam_tpu.solvers import ba
@@ -183,6 +184,7 @@ def test_schur_obs_matches_densified_reference():
                                atol=2e-3 * pscale)
 
 
+@pytest.mark.slow
 def test_e2e_ba_optimize_intrinsics_flag():
     """Pipeline smoke test for hidden.ba_opt_intrinsics: the window BA
     frees the intrinsics blocks and the merged values flow back into the

@@ -11,6 +11,7 @@ stand-in for the reference's global BA over a full EuRoC run
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vslam_tpu.geometry import cameras, lie
 from vslam_tpu.solvers import ba, ba_cg
@@ -91,6 +92,7 @@ def make_big_problem(n_pairs=4096, pts_per_kf=16, obs_per_pt=16, noise=0.3,
     return prob, poses_gt, points_gt
 
 
+@pytest.mark.slow
 def test_global_ba_4k_keyframes():
     prob, poses_gt, points_gt = make_big_problem()
     assert prob.poses.shape[0] == 8192

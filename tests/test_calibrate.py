@@ -1,11 +1,13 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vslam_tpu.geometry import cameras, lie
 from vslam_tpu.tools import calibrate as cal
 
 
+@pytest.mark.slow
 def test_calibration_recovers_intrinsics():
     rng = np.random.RandomState(0)
     grid = jnp.asarray(cal.aprilgrid_points(rows=4, cols=4), jnp.float32)

@@ -20,6 +20,7 @@ def small_cfg(**kw):
     return SlamConfig(**base)
 
 
+@pytest.mark.slow
 def test_debug_checks_pass_on_healthy_run():
     seq = synthetic.generate(num_frames=6, num_points=400, seed=1)
     slam = SlamSystem(seq.calib, small_cfg(debug_checks=True))
@@ -41,6 +42,7 @@ def test_debug_checks_catch_corruption():
     assert "corners" in bad
 
 
+@pytest.mark.slow
 def test_capacity_overflow_is_graceful():
     seq = synthetic.generate(num_frames=10, num_points=400, seed=1)
     # tiny caps: landmark and keyframe arrays overflow quickly

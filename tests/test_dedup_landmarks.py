@@ -1,6 +1,7 @@
 """suppress_duplicate_landmarks: fewer landmarks, tracking quality kept."""
 
 import numpy as np
+import pytest
 
 from vslam_tpu import synthetic
 from vslam_tpu.config import SlamConfig
@@ -26,6 +27,7 @@ def run(suppress):
     return rmse, n_lm
 
 
+@pytest.mark.slow
 def test_duplicate_suppression():
     rmse_off, n_off = run(False)
     rmse_on, n_on = run(True)

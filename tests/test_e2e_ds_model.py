@@ -15,6 +15,7 @@ import pytest
 
 
 @pytest.mark.parametrize("cam_type", ["ds", "kb4", "eucm"])
+@pytest.mark.slow
 def test_vo_camera_models(cam_type):
     seq = synthetic.generate(num_frames=14, num_points=500, seed=7,
                              cam_type=cam_type)

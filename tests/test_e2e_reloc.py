@@ -4,6 +4,7 @@ PnP path (tracking.h:241-419 semantics)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vslam_tpu import synthetic
 from vslam_tpu.config import SlamConfig
@@ -11,6 +12,7 @@ from vslam_tpu.geometry import lie
 from vslam_tpu.pipeline.slam import SlamSystem
 
 
+@pytest.mark.slow
 def test_relocalization_recovers_from_teleport():
     seq = synthetic.generate(num_frames=16, num_points=500, seed=3)
     cfg = SlamConfig(

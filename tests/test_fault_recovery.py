@@ -6,6 +6,7 @@ prediction, and tracking re-acquires once the view returns (guided
 matching against the full map projects from the held pose)."""
 
 import numpy as np
+import pytest
 
 from vslam_tpu import synthetic
 from vslam_tpu.config import SlamConfig
@@ -13,6 +14,7 @@ from vslam_tpu.eval import ate
 from vslam_tpu.pipeline.slam import SlamSystem
 
 
+@pytest.mark.slow
 def test_blackout_recovery():
     seq = synthetic.generate(num_frames=16, num_points=500, seed=3)
     cfg = SlamConfig(

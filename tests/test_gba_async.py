@@ -9,6 +9,7 @@ merges while it is "in flight", then skip-merge and check who moved.
 """
 
 import numpy as np
+import pytest
 
 from vslam_tpu import synthetic
 from vslam_tpu.config import SlamConfig
@@ -27,6 +28,7 @@ def _cfg():
     )
 
 
+@pytest.mark.slow
 def test_gba_skip_merge_preserves_interim_work():
     seq = synthetic.generate(num_frames=16, num_points=500, seed=3)
     slam = SlamSystem(seq.calib, _cfg())

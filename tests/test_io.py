@@ -88,6 +88,7 @@ def test_map_roundtrip_schema(tmp_path):
                                                        "value2"}
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from vslam_tpu import synthetic
     from vslam_tpu.config import SlamConfig

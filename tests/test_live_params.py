@@ -24,6 +24,7 @@ def _cfg():
         new_kf_min_inliers=10, quality_level=0.001)
 
 
+@pytest.mark.slow
 def test_keyframe_threshold_tunes_live():
     seq = synthetic.generate(num_frames=16, num_points=500, seed=3)
     slam = SlamSystem(seq.calib, _cfg())

@@ -124,6 +124,7 @@ def drifted_map():
     return kf, lm, true_poses, stored, covis
 
 
+@pytest.mark.slow
 def test_compute_sim3_recovers_drift(drifted_map):
     kf, lm, true_poses, stored, covis = drifted_map
     cur, cand = N_KF - 1, 0

@@ -18,6 +18,7 @@ def test_entry_compiles_and_runs():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 
@@ -69,6 +70,7 @@ def test_sharded_ba_matches_single_device():
     assert float(s1["final_cost"]) < float(s1["initial_cost"]) * 0.9
 
 
+@pytest.mark.slow
 def test_ba_on_second_device_matches_single_device():
     """cfg.ba_device places the async window BA on another chip. Merge
     timing then differs from the same-chip run (the solve overlaps

@@ -9,6 +9,7 @@ from vslam_tpu.parallel.mesh import make_mesh
 from vslam_tpu.parallel.multiseq_runner import MultiSeqVO
 
 
+@pytest.mark.slow
 def test_multiseq_vo_two_sequences():
     cfg = SlamConfig(
         num_features=400, ransac_hypotheses=128, max_landmarks=8192,
@@ -35,6 +36,7 @@ def test_multiseq_vo_two_sequences():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >= 2 devices")
+@pytest.mark.slow
 def test_multiseq_vo_sharded_over_mesh():
     """One sequence per device over the 'data' mesh axis (configs[3])."""
     cfg = SlamConfig(

@@ -49,6 +49,7 @@ def test_texture_is_horizontally_periodic():
     assert np.mean(np.abs(a - b)) < 2.0
 
 
+@pytest.mark.slow
 def test_organic_loop_closure():
     """A BoW loop closure fires from appearance alone on an orbit revisit.
 

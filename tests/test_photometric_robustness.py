@@ -54,6 +54,7 @@ def test_degradation_actually_degrades(degraded_seq):
     assert np.ptp(means) > 2.0
 
 
+@pytest.mark.slow
 def test_vo_survives_photometric_degradation(degraded_seq):
     seq, images = degraded_seq
     slam = SlamSystem(seq.calib, small_config())

@@ -19,9 +19,9 @@ import pytest
 SAMPLE_DIR = "/root/reference/data/euroc_V1"
 CALIB = "/root/reference/calibration_file/euroc_v1_123_ds_calib.json"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not (os.path.isdir(SAMPLE_DIR) and os.path.exists(CALIB)),
-    reason="reference sample frames not available")
+    reason="reference sample frames not available")]
 
 N_MAP_FRAMES = 100  # ALL bundled pairs (201 JPEG files = 100 stereo pairs)
 

@@ -32,6 +32,7 @@ def test_tune_vector_matches_registry():
     assert vec[TUNE_INDEX["new_kf_min_inliers"]] == 80.0
 
 
+@pytest.mark.slow
 def test_stream_set_param_applies_without_recompile(seq):
     import jax
 

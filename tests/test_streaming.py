@@ -96,6 +96,7 @@ def test_streaming_reset_reproducible(seq):
     assert np.array_equal(t1, t2)
 
 
+@pytest.mark.slow
 def test_streaming_checkpoint_resume(seq, tmp_path):
     """Stop a stream mid-run, checkpoint, restore into a fresh driver,
     continue — bit-identical to the uninterrupted run."""
@@ -121,6 +122,7 @@ def test_streaming_checkpoint_resume(seq, tmp_path):
 
 
 @pytest.mark.parametrize("pseed", [1, 4])
+@pytest.mark.slow
 def test_streaming_parity_at_scale(pseed):
     """Parity at the scale the headline numbers are measured at: a
     96-frame pano-world run (perspective warps, organic keyframe cadence,
@@ -201,6 +203,7 @@ def test_streaming_culling_under_pressure(seq):
     assert n_valid > 50, "map collapsed instead of recycling"
 
 
+@pytest.mark.slow
 def test_chunked_dispatch_parity(stream_run, seq):
     """chunk=4 (one dispatch/h2d per 4 frames via lax.scan) must be
     bit-identical to the per-frame path — same scan body, same state; only

@@ -15,6 +15,7 @@ view; the stream must recover within a poll quantum.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vslam_tpu import synthetic
 from vslam_tpu.config import SlamConfig
@@ -50,6 +51,7 @@ def _train_vocab(seq, frames=(0, 3, 6, 9)):
     return voc
 
 
+@pytest.mark.slow
 def test_streaming_blackout_teleport_recovery():
     seq = synthetic.generate(num_frames=16, num_points=500, seed=3)
     voc = _train_vocab(seq)

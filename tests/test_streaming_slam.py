@@ -124,6 +124,7 @@ def clean_vo_rmse(pano):
     return _keyframe_ate(vo, seq)
 
 
+@pytest.mark.slow
 def test_streaming_slam_stitches_injected_drift(pano, clean_vo_rmse):
     """The injected 3 m gauge break rides on the world's intrinsic ~3 m
     tracking floor (platform-dependent: CPU and TPU arithmetic give
@@ -172,6 +173,7 @@ def test_streaming_slam_stitches_injected_drift(pano, clean_vo_rmse):
     assert res["tracked_ok"][3:].mean() > 0.9
 
 
+@pytest.mark.slow
 def test_closure_cooldown_keeps_consistent_map_good(pano, clean_vo_rmse):
     """On the consistent (non-injected) run a single closure is neutral
     but consecutive keyframes re-detect the same revisit and repeated

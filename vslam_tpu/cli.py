@@ -84,6 +84,14 @@ def main(argv=None):
                    "closure, reference semantics); 'streaming' = sync-free "
                    "fused-step driver (max throughput; loop closure and "
                    "relocalization need --voc-path)")
+    p.add_argument("--overlay-every", type=int, default=0, help="with "
+                   "--overlay-dir: write a live reprojection overlay PNG "
+                   "of every Nth frame during the run (detected keypoints "
+                   "+ matched landmarks projected through the frame's "
+                   "final pose + residual lines) — the headless "
+                   "equivalent of the reference's draw_image_overlay "
+                   "inspection (slam.cpp:534-771). Faithful driver only.")
+    p.add_argument("--overlay-dir", default="")
     p.add_argument("--tune-file", default="", help="JSON file of "
                    "{param: value} polled during the run; changed values "
                    "are applied live via set_param — the headless "
@@ -137,6 +145,16 @@ def main(argv=None):
             t_frame = time.perf_counter()
             info = slam.process_frame(img_l, img_r)
             info["ms"] = round(1000 * (time.perf_counter() - t_frame), 2)
+            if (args.overlay_every and args.overlay_dir
+                    and i % args.overlay_every == 0):
+                import os as _os
+
+                from .viz import overlays as _ov
+
+                _os.makedirs(args.overlay_dir, exist_ok=True)
+                _ov.save_png(slam.render_overlay(img_l),
+                             _os.path.join(args.overlay_dir,
+                                           f"frame_{i:05d}.png"))
             if metrics_f:
                 metrics_f.write(json.dumps(info) + "\n")
             if info["kind"] == "keyframe" or i % 50 == 0:

@@ -466,6 +466,7 @@ class SlamSystem:
         cfg = self.cfg
         res, _ = self._run_tracking(img_l)
         res, ok = self._apply_motion_gate(res, img_l)
+        self._last_res = res  # device handles only (live overlay hook)
 
         if ok:
             pose = res.T_w_c
@@ -493,6 +494,7 @@ class SlamSystem:
 
         res, _ = self._run_tracking(img_l)
         res, ok = self._apply_motion_gate(res, img_l)
+        self._last_res = res  # device handles only (live overlay hook)
         if ok or not cfg.enable_relocalization:
             pose = res.T_w_c if self._scalars["pnp_ok"] else self._lost_pose()
         else:
@@ -646,6 +648,33 @@ class SlamSystem:
             self.kf, self.lm, self.intr0, self.intr1,
             cam_name=self.cam_name, huber=self.cfg.ba_huber_px)
         return stats
+
+    def render_overlay(self, img_l) -> "np.ndarray":
+        """Live reprojection overlay of the LAST processed frame: detected
+        keypoints (crosses), matched landmarks projected through the
+        frame's final pose (circles), residual lines — the headless
+        equivalent of watching the reference's draw_image_overlay
+        mid-run (slam.cpp:534-771). Returns an RGB uint8 image; wire it
+        via `cli.py --overlay-every/--overlay-dir`."""
+        from ..geometry import cameras as cam_models
+        from ..viz import overlays
+
+        res = getattr(self, "_last_res", None)
+        if res is None:
+            return overlays.draw_keypoints(np.asarray(img_l),
+                                           np.zeros((0, 2)))
+        pose = self.track.current_pose
+        corners, valid, match_lm, pts = jax.device_get(
+            (res.feats.corners, res.feats.valid, res.match_lm,
+             self.lm.pos[jnp.clip(res.match_lm, 0)]))
+        p_c = jax.vmap(lambda p: lie.se3_apply(lie.se3_inv(pose), p))(
+            jnp.asarray(pts))
+        proj = np.asarray(cam_models.project(
+            self.cam_name, self.intr0, p_c))
+        matched = valid & (match_lm >= 0)
+        img = overlays.draw_keypoints(np.asarray(img_l), corners, valid)
+        return overlays.draw_reprojections(
+            img, corners[matched], proj[matched])
 
     def reprojection_report(self):
         """Per-observation reprojection errors + outlier flags
