@@ -204,7 +204,7 @@ def bench_single(em: Emitter, frames, calib, use_slam_driver: bool,
 
 
 def bench_full_slam(em: Emitter, num_frames: int = 288,
-                    num_features: int = 300, max_runs: int = 3):
+                    num_features: int = 300, max_runs: int = 5):
     """Full-SLAM throughput + accuracy on a workload where closures fire
     ORGANICALLY.
 
@@ -283,7 +283,7 @@ def bench_full_slam(em: Emitter, num_frames: int = 288,
     def one_run(full):
         if full:
             slam = StreamingSLAM(seq.calib, make_cfg(True), voc,
-                                 max_frames=num_frames + 8, poll_every=16,
+                                 max_frames=num_frames + 8, poll_every=32,
                                  chunk=4)
         else:
             slam = StreamingVO(seq.calib, make_cfg(False),
