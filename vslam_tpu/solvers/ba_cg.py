@@ -42,6 +42,54 @@ def _residual_fn(cam_name, prob: BAProblem):
     return residuals
 
 
+def _pow2(n: int, lo: int = 16) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+def _seg_sum_planned(ids, valid, n_seg: int, cap: int):
+    """Scatter-free segment sum over the observation axis.
+
+    XLA lowers a large scatter-add on TPU to a SEQUENTIAL device while
+    loop — profiled at ~2.8 s per J^T u pass at 262k observations (the
+    same pathology solvers/ba_blocked.py works around for the direct
+    solver). Plan: sort the ids once (loop-invariant, hoisted out of the
+    LM while_loop), then each segment GATHERS its ≤cap contiguous rows
+    from the sorted order and sums — pure gathers + reductions, no
+    scatter. Invalid rows route to a sentinel segment that is never
+    read. If any segment exceeds the static ``cap`` (shape-derived, 4x
+    the mean plus headroom — a BA camera sees at most its feature budget)
+    a lax.cond falls back to the exact scatter path, so results are
+    always correct, just slow in the pathological case.
+    """
+    O = ids.shape[0]
+    ids_eff = jnp.where(valid, ids, n_seg)
+    order = jnp.argsort(ids_eff)
+    sorted_ids = ids_eff[order]
+    seg = jnp.arange(n_seg)
+    starts = jnp.searchsorted(sorted_ids, seg)
+    ends = jnp.searchsorted(sorted_ids, seg, side="right")
+    overflow = jnp.max(ends - starts) > cap
+    idx = starts[:, None] + jnp.arange(cap)[None, :]
+    take = order[jnp.clip(idx, 0, O - 1)]
+    tvalid = idx < ends[:, None]
+
+    def seg_sum(rows):  # [O, D] -> [n_seg, D]
+        def gather_path(r):
+            g = r[take]                          # [n_seg, cap, D]
+            return jnp.sum(jnp.where(tvalid[..., None], g, 0), axis=1)
+
+        def scatter_path(r):
+            z = jnp.zeros((n_seg + 1, r.shape[1]), r.dtype)
+            return z.at[ids_eff].add(r)[:n_seg]
+
+        return lax.cond(overflow, scatter_path, gather_path, rows)
+
+    return seg_sum
+
+
 def _make_lm_step(prob: BAProblem, cam_name: str, huber, cg_iters: int):
     """One gain-ratio LM iteration (CG inner solve) as a carry->carry fn.
 
@@ -50,6 +98,7 @@ def _make_lm_step(prob: BAProblem, cam_name: str, huber, cg_iters: int):
     """
     K = prob.poses.shape[0]
     L = prob.points.shape[0]
+    O = prob.obs_cam.shape[0]
     dtype = prob.poses.dtype
 
     free_c = (~prob.pose_fixed)[:, None].astype(dtype)       # [K, 1]
@@ -58,7 +107,16 @@ def _make_lm_step(prob: BAProblem, cam_name: str, huber, cg_iters: int):
     def mask(dc, dp):
         return dc * free_c, dp * free_p
 
+    # loop-invariant segment-sum plans (sorted once, reused every LM/CG
+    # iteration); caps are shape-derived statics with a correct fallback
+    cam_cap = min(_pow2(max(8, 4 * O // max(K, 1))), _pow2(O))
+    pt_cap = min(_pow2(max(8, 4 * O // max(L, 1))), _pow2(O))
+    cam_sum = _seg_sum_planned(prob.obs_cam, prob.obs_valid, K, cam_cap)
+    pt_sum = _seg_sum_planned(prob.obs_point, prob.obs_valid, L, pt_cap)
+
     zero = (jnp.zeros((K, 6), dtype), jnp.zeros((L, 3), dtype))
+    zero6 = jnp.zeros((6,), dtype)
+    zero3 = jnp.zeros((3,), dtype)
     ftol = 1e-6
     gtol = 0.05  # relative gradient tolerance (same scale as solvers/ba.py)
     step_cap = 10.0
@@ -81,10 +139,26 @@ def _make_lm_step(prob: BAProblem, cam_name: str, huber, cg_iters: int):
         def Jv(v):
             return jax.jvp(lambda d: wres(*mask(*d)), (zero,), (v,))[1]
 
-        _, vjp = jax.vjp(lambda d: wres(*mask(*d)), zero)
-
         def JTu(u):
-            return vjp(u)[0]
+            """J^T u via per-observation adjoints + planned segment sums.
+
+            jax.vjp of the BATCHED residual would differentiate the
+            poses[cam_i]/points[pt_i] gathers into scatter-adds (the
+            sequential-loop pathology above); per-observation vjps have
+            no cross-observation ops, and the reduction to camera/point
+            blocks is the scatter-free plan."""
+            def one(cam_i, pt_i, uv, w, u_o):
+                def f(dc6, dp3):
+                    pose = lie.se3_retract(poses[cam_i], dc6)
+                    r = _project_obs(cam_name, prob.intr[cam_i], pose,
+                                     points[pt_i] + dp3, uv)
+                    return _sanitize(r) * w
+                _, vjp1 = jax.vjp(f, zero6, zero3)
+                return vjp1(u_o)
+
+            gc_rows, gp_rows = jax.vmap(one)(
+                prob.obs_cam, prob.obs_point, prob.obs_uv, sw[:, 0], u)
+            return cam_sum(gc_rows) * free_c, pt_sum(gp_rows) * free_p
 
         def Hv(v):
             hc, hp = JTu(Jv(v))
