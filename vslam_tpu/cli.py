@@ -230,16 +230,18 @@ def _main_streaming(args):
     n = seq.num_frames if args.max_frames <= 0 else min(
         seq.num_frames, args.max_frames)
     pf = euroc.Prefetcher(seq.image_paths[:n], depth=16, workers=3)
-    frames = [pf.get(i) for i in range(n)]
+    # decode + pack once at load time: contiguous [N, 2, H, W] slices
+    # upload zero-copy, and chunk=4 batches 4 frames per dispatch/h2d
+    frames = StreamingVO.pack_frames([pf.get(i) for i in range(n)])
 
     if cfg.enable_loop_closure or cfg.enable_relocalization:
         from .loop import vocabulary as vocab_mod
 
         voc = vocab_mod.load_dbow2_text(args.voc_path)
         print(f"Loaded vocabulary: {voc.num_words} words", file=sys.stderr)
-        slam = StreamingSLAM(calib, cfg, voc, max_frames=n + 8)
+        slam = StreamingSLAM(calib, cfg, voc, max_frames=n + 8, chunk=4)
     else:
-        slam = StreamingVO(calib, cfg, max_frames=n + 8)
+        slam = StreamingVO(calib, cfg, max_frames=n + 8, chunk=4)
 
     from .utils import profiling
 
