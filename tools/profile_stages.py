@@ -33,6 +33,43 @@ def bench_op(fn, n=20):
     return times[len(times) // 2]
 
 
+def device_ms_op(fn, n=10):
+    """TRUE device time per call from an xplane trace (sums jit_* events).
+
+    Blocking wall through the tunnel is dominated by the ~27.5 ms
+    completion-polling quantum; subtracting it (the r3 table's method)
+    badly over-estimated device compute — r4 xplane profiling measured
+    e.g. extract_features at 0.24 ms device vs "8.3 ms" wall-derived.
+    """
+    import glob
+    import tempfile
+
+    import jax
+
+    jax.block_until_ready(fn())
+    d = tempfile.mkdtemp(prefix="xp_stage_")
+    jax.profiler.start_trace(d)
+    out = None
+    for _ in range(n):
+        out = fn()
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+    files = glob.glob(d + "/**/*.xplane.pb", recursive=True)
+    if not files:
+        return None
+    pd = jax.profiler.ProfileData.from_serialized_xspace(
+        open(files[-1], "rb").read())
+    tot = 0
+    for plane in pd.planes:
+        if "TPU" not in plane.name:
+            continue
+        for line in plane.lines:
+            for ev in line.events:
+                if ev.name.startswith("jit_"):
+                    tot += ev.duration_ns
+    return tot / 1e6 / n
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=40)
@@ -62,6 +99,17 @@ def main():
     def rec(name, ms):
         out[name] = round(ms, 3)
         print(f"{name:32s} {ms:9.2f} ms", flush=True)
+
+    def stage(name, fn, reps):
+        """Record blocking wall AND true (xplane) device time."""
+        wall = bench_op(fn, reps)
+        dev = device_ms_op(fn, min(reps, 10))
+        out[name] = round(wall, 3)
+        if dev is not None:
+            out[name + "_device"] = round(dev, 3)
+        print(f"{name:32s} {wall:9.2f} ms wall"
+              + (f"  {dev:8.2f} ms device" if dev is not None else ""),
+              flush=True)
 
     # ---- raw transfer costs ----
     img_np = np.asarray(seq.images[0][0])
@@ -98,10 +146,10 @@ def main():
     img_r_dev = jax.device_put(jnp.asarray(seq.images[6][1]))
     key = jax.random.PRNGKey(0)
 
-    rec("extract_features", bench_op(lambda: extract_features(
+    stage("extract_features", lambda: extract_features(
         img_dev, num_features=cfg.num_features,
         quality_level=cfg.quality_level, min_distance=cfg.min_distance,
-        rotate_features=cfg.rotate_features), args.reps))
+        rotate_features=cfg.rotate_features), args.reps)
 
     feats = extract_features(img_dev, num_features=cfg.num_features,
                              quality_level=cfg.quality_level,
@@ -127,8 +175,7 @@ def main():
         sel = jnp.clip(sel, 0, lm.pos.shape[0] - 1)
         return proj[sel], sel, sel_valid & in_view[sel]
 
-    rec("project+compact", bench_op(lambda: proj_compact(lm, pose),
-                                    args.reps))
+    stage("project+compact", lambda: proj_compact(lm, pose), args.reps)
     cand_proj, sel, sel_valid = proj_compact(lm, pose)
 
     @jax.jit
@@ -139,9 +186,9 @@ def main():
             max_dist_2d=cfg.match_max_dist_2d, threshold=cfg.match_max_dist,
             ratio=cfg.match_next_best)
 
-    rec("match_landmarks", bench_op(lambda: match_only(
-        feats.bits, feats.valid, feats.corners, cand_proj, sel, sel_valid),
-        args.reps))
+    stage("match_landmarks", lambda: match_only(
+        feats.bits, feats.valid, feats.corners, cand_proj, sel,
+        sel_valid), args.reps)
     match_local, m_ok, _ = match_only(feats.bits, feats.valid, feats.corners,
                                       cand_proj, sel, sel_valid)
 
@@ -153,8 +200,8 @@ def main():
                               slam.pnp_threshold,
                               num_hypotheses=cfg.ransac_hypotheses)
 
-    rec("ransac_pnp", bench_op(lambda: pnp_only(
-        key, match_local, m_ok, feats.corners), args.reps))
+    stage("ransac_pnp", lambda: pnp_only(
+        key, match_local, m_ok, feats.corners), args.reps)
 
     # full fused track_frame (what the tracking step actually dispatches)
     def full_track():
@@ -174,7 +221,7 @@ def main():
             min_distance=cfg.min_distance,
             rotate_features=cfg.rotate_features)
 
-    rec("track_frame_fused", bench_op(full_track, args.reps))
+    stage("track_frame_fused", full_track, args.reps)
 
     # host-side step cost (includes transfers + scalar sync + python)
     def host_track_step():
@@ -187,11 +234,11 @@ def main():
         / args.reps * 1e3)
 
     # keyframe-path programs
-    rec("stereo_match", bench_op(lambda: kf_mod.stereo_match(
+    stage("stereo_match", lambda: kf_mod.stereo_match(
         feats, feats_r, slam.T_0_1, slam.intr0, slam.intr1,
         cam_name=slam.cam_name, threshold=cfg.match_max_dist,
         ratio=cfg.match_next_best,
-        epipolar_threshold=cfg.epipolar_error_threshold), args.reps))
+        epipolar_threshold=cfg.epipolar_error_threshold)[0], args.reps)
 
     wp = ba_window.build_window_problem(
         slam.kf, slam.lm, slam.intr0, slam.intr1,
@@ -203,9 +250,9 @@ def main():
             W2=cfg.window_cams // 2, Lw=cfg.window_points,
             O=cfg.window_obs).prob), max(args.reps // 2, 5)))
 
-    rec("window_ba_solve", bench_op(lambda: ba_mod.solve_ba_schur(
+    stage("window_ba_solve", lambda: ba_mod.solve_ba_schur(
         wp.prob, cam_name=slam.cam_name, huber=cfg.ba_huber_px,
-        max_iters=cfg.ba_max_iters)[0], max(args.reps // 2, 5)))
+        max_iters=cfg.ba_max_iters)[0], max(args.reps // 2, 5))
 
     # ---- end-to-end fps on the remaining frames ----
     n = 0
