@@ -217,3 +217,16 @@ def test_chunked_dispatch_parity(stream_run, seq):
                                   res1["trajectory"][:22])
     np.testing.assert_array_equal(res4["is_keyframe"],
                                   res1["is_keyframe"][:22])
+
+
+def test_packed_ndarray_input_parity(stream_run, seq):
+    """A pre-packed contiguous [N, 2, H, W] array (StreamingVO.pack_frames,
+    the zero-copy upload path) must produce the same results as the
+    per-pair list input."""
+    packed = StreamingVO.pack_frames(seq.images)
+    vo = StreamingVO(seq.calib, small_config(), max_frames=64)
+    vo.run(packed)
+    res = vo.results()
+    ref = stream_run.results()
+    np.testing.assert_array_equal(res["trajectory"], ref["trajectory"])
+    np.testing.assert_array_equal(res["is_keyframe"], ref["is_keyframe"])
