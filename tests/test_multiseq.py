@@ -57,3 +57,33 @@ def test_multiseq_vo_sharded_over_mesh():
     for s in range(2):
         assert int(np.asarray(ms.lm.valid[s]).sum()) > 30
         assert np.all(np.isfinite(np.stack(ms.trajectories[s])))
+
+
+@pytest.mark.slow
+def test_multiseq_chunked_dispatch_parity():
+    """chunk=4 (lax.scan over lockstep frames, packed [N,2,S,H,W] input)
+    must match the per-frame path bit-for-bit; a 10-frame run also
+    exercises the 2-frame tail through the per-frame program. (On the
+    tunneled chip chunking is throughput-neutral for multiseq — the
+    dispatch overhead is already amortized over S sequences — but the
+    path exists for faster links and must stay correct.)"""
+    S, N = 2, 10
+    seqs = [synthetic.generate(num_frames=N, num_points=400, seed=10 + s)
+            for s in range(S)]
+    cfg = SlamConfig(
+        num_features=400, ransac_hypotheses=128, max_landmarks=4096,
+        max_keyframes=32, max_inview_landmarks=512, window_cams=24,
+        window_points=1024, window_obs=3072, ba_max_iters=6,
+        enable_relocalization=False, enable_loop_closure=False)
+    frames = [(np.stack([s.images[f][0] for s in seqs]),
+               np.stack([s.images[f][1] for s in seqs]))
+              for f in range(N)]
+    outs = {}
+    for chunk in (1, 4):
+        vo = MultiSeqVO(seqs[0].calib, S, cfg, chunk=chunk)
+        vo.run(frames if chunk == 1 else MultiSeqVO.pack_frames(frames))
+        outs[chunk] = vo.results()
+    np.testing.assert_array_equal(outs[1]["trajectories"],
+                                  outs[4]["trajectories"])
+    np.testing.assert_array_equal(outs[1]["is_keyframe"],
+                                  outs[4]["is_keyframe"])

@@ -83,7 +83,8 @@ class MultiSeqState(NamedTuple):
 
 
 def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
-               pnp_threshold: float, S: int, compact_inserts: bool):
+               pnp_threshold: float, S: int, compact_inserts: bool,
+               chunk: int = 1):
     track1 = functools.partial(
         tracking.track_frame,
         cam_name=cam_name, num_features=cfg.num_features,
@@ -269,7 +270,17 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             log_kf=state.log_kf.at[:, f].set(inserted, mode="drop"),
         )
 
-    return jax.jit(step, donate_argnums=(0,))
+    if chunk == 1:
+        return jax.jit(step, donate_argnums=(0,))
+
+    def chunk_step(state: MultiSeqState, imgs) -> MultiSeqState:
+        # imgs [C, 2, S, H, W]: one dispatch + one h2d per C lockstep
+        # frames (same lever as streaming's chunk=4 — per-op relay/host
+        # overhead through the tunnel dominates the lockstep wall)
+        return lax.scan(lambda s, im: (step(s, im[0], im[1]), None),
+                        state, imgs)[0]
+
+    return jax.jit(chunk_step, donate_argnums=(0,))
 
 
 class MultiSeqVO:
@@ -277,7 +288,7 @@ class MultiSeqVO:
 
     def __init__(self, calib: Calibration, num_sequences: int,
                  config: Optional[SlamConfig] = None, mesh=None,
-                 max_frames: int = 4096):
+                 max_frames: int = 4096, chunk: int = 1):
         import math
 
         self.cfg = cfg = config or SlamConfig()
@@ -286,12 +297,31 @@ class MultiSeqVO:
         self.cam_name = calib.cam_types[0]
         self.mesh = mesh
         self.max_frames = max_frames
+        if mesh is not None and chunk and chunk > 1:
+            raise ValueError("chunked dispatch is single-chip only (the "
+                             "packed [C,2,S,H,W] upload bypasses the "
+                             "per-sequence mesh sharding)")
+        self.chunk = max(1, int(chunk))
         pnp_thr = 1.0 - math.cos(math.atan(cfg.pnp_inlier_thresh_px / 500.0))
         self._step = _make_step(cfg, self.cam_name, calib.width,
                                 calib.height, pnp_thr, num_sequences,
-                                compact_inserts=mesh is None)
+                                compact_inserts=mesh is None,
+                                chunk=self.chunk)
+        self._step1 = self._step if self.chunk == 1 else None
         self._img_sharding = None
         self.reset()
+
+    def _single_step(self):
+        if self._step1 is None:
+            import math
+
+            cfg = self.cfg
+            pnp_thr = 1.0 - math.cos(
+                math.atan(cfg.pnp_inlier_thresh_px / 500.0))
+            self._step1 = _make_step(
+                cfg, self.cam_name, self.calib.width, self.calib.height,
+                pnp_thr, self.S, compact_inserts=self.mesh is None, chunk=1)
+        return self._step1
 
     def reset(self):
         cfg = self.cfg
@@ -349,17 +379,50 @@ class MultiSeqVO:
         if self._img_sharding is not None:
             il = jax.device_put(il, self._img_sharding)
             ir = jax.device_put(ir, self._img_sharding)
-        self.state = self._step(self.state, il, ir)
+        self.state = self._single_step()(self.state, il, ir)
         return {"frame": int(self.state.frame) - 1}
 
+    @staticmethod
+    def pack_frames(frames) -> np.ndarray:
+        """Pre-pack [(imgs_l [S,H,W], imgs_r [S,H,W])] into one contiguous
+        [N, 2, S, H, W] array at load time (zero-copy chunk uploads)."""
+        return np.stack([np.stack([l, r]) for l, r in frames])
+
     def run(self, frames, prefetch: int = 8, sync_every: int = 256) -> int:
-        """Process [(imgs_l [S,H,W], imgs_r [S,H,W])] with a device-side
-        prefetch ring (same pattern as StreamingVO.run: committing the
-        uploads ``prefetch`` frames ahead keeps the h2d transfers off the
-        step's critical path — measured ~2x lockstep throughput)."""
+        """Process lockstep frames with a device-side prefetch ring.
+
+        ``frames`` is either [(imgs_l [S,H,W], imgs_r [S,H,W])] or the
+        pre-packed [N, 2, S, H, W] ndarray from ``pack_frames``. With
+        ``chunk > 1`` (packed input required), one dispatch + one upload
+        covers ``chunk`` lockstep frames."""
         n = len(frames)
         buf = {}
         sharding = self._img_sharding
+        C = self.chunk
+
+        if C > 1:
+            if not isinstance(frames, np.ndarray):
+                frames = self.pack_frames(frames)
+            ngroups = n // C
+            P = max(1, prefetch // C)
+
+            def putg(g):
+                buf[g] = jax.device_put(frames[g * C:(g + 1) * C])
+
+            for g in range(min(P, ngroups)):
+                putg(g)
+            for g in range(ngroups):
+                batch = buf.pop(g)
+                self.state = self._step(self.state, batch)
+                if g + P < ngroups:
+                    putg(g + P)
+                if sync_every and ((g + 1) * C) % sync_every < C:
+                    jax.block_until_ready(self.state.frame)
+            for i in range(ngroups * C, n):
+                pair = jax.device_put(np.ascontiguousarray(frames[i]))
+                self.state = self._single_step()(self.state, pair[0],
+                                                 pair[1])
+            return n
 
         def put(i):
             il = jnp.asarray(np.asarray(frames[i][0]))
