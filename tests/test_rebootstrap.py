@@ -9,8 +9,6 @@ without it, a permanent reloc failure froze the map forever (the r3
 bench's 0.469 m "SLAM" ATE covered only 40% of its trajectory).
 """
 
-import dataclasses
-
 import numpy as np
 import pytest
 
