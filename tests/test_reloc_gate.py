@@ -36,7 +36,7 @@ def mapped():
     return slam, seq
 
 
-def _attempt(slam, seq, frames_lost, coast_offset_m):
+def _attempt(slam, seq, frames_lost, coast_offset_m, gate_cap_mult=12):
     """One relocalize() call from a coasted pose ``coast_offset_m`` from
     the true pose of the replayed (already-mapped) view."""
     res, _ = slam._run_tracking(seq.images[6][0])
@@ -53,7 +53,7 @@ def _attempt(slam, seq, frames_lost, coast_offset_m):
         num_hypotheses=slam.cfg.ransac_hypotheses,
         max_retries=slam.cfg.track_max_retries,
         max_candidates=slam.cfg.reloc_max_candidates,
-        frames_lost=frames_lost)
+        frames_lost=frames_lost, gate_cap_mult=gate_cap_mult)
     return ok, T_wc, diag
 
 
@@ -72,10 +72,25 @@ def test_fresh_loss_keeps_reference_gate(mapped):
 
 def test_late_recovery_passes_scaled_gate(mapped):
     """The same 3 m-displaced recovery is ACCEPTED when the loss is 20
-    frames old (gate 0.5 * 20 = 10 m), and lands on the true pose."""
+    frames old (gate 0.5 * min(20, cap=12) = 6 m), and lands on the true
+    pose."""
     slam, seq = mapped
     ok, T_wc, diag = _attempt(slam, seq, frames_lost=20,
                               coast_offset_m=3.0)
+    assert diag["gate"] == pytest.approx(6.0)
     assert ok, f"scaled gate should accept: {diag}"
     err = float(np.linalg.norm(np.asarray(T_wc)[:3] - seq.poses[6][:3]))
     assert err < 0.3, f"recovered pose {err:.2f} m from truth"
+
+
+def test_gate_cap_bounds_very_long_losses(mapped):
+    """r4 advisor: the scaled gate must not grow unboundedly. A 1000-frame
+    loss with a tight cap keeps the gate at motion_threshold * cap, and a
+    recovery farther than that is rejected (falls through to the
+    sustained-loss re-bootstrap instead of unbounded-gate acceptance)."""
+    slam, seq = mapped
+    ok, _, diag = _attempt(slam, seq, frames_lost=1000, coast_offset_m=3.0,
+                           gate_cap_mult=4)
+    assert diag["gate"] == pytest.approx(
+        4 * slam.cfg.motion_threshold)
+    assert not ok, f"capped gate should reject a 3 m jump: {diag}"

@@ -148,6 +148,14 @@ class SlamConfig:
     # frame resets the backoff.
     reloc_backoff_frames: int = 16
     reloc_backoff_cap_frames: int = 128
+    # absolute cap on the loss-scaled reloc motion gate: the gate grows
+    # linearly with frames_lost (see loop/relocalize.py) but an unbounded
+    # gate degrades to inlier-count-only acceptance on very long losses —
+    # an aliased candidate far from the true trajectory could be accepted.
+    # gate = motion_threshold * min(frames_lost, reloc_gate_cap_mult);
+    # losses longer than the capped gate can explain fall through to the
+    # sustained-loss re-bootstrap instead (r4 advisor finding).
+    reloc_gate_cap_mult: int = 12
     # sustained-loss re-bootstrap (reference semantics: a lost frame with
     # inliers < threshold takes a keyframe at the coasted pose,
     # slam.cpp:1374-1377 — the map keeps extending in a drifted gauge and
@@ -266,6 +274,7 @@ HOST_TUNABLE = frozenset({
     "gba_max_iters", "gba_cg_iters",
     "reloc_max_candidates", "reloc_lost_frames",
     "reloc_backoff_frames", "reloc_backoff_cap_frames",
+    "reloc_gate_cap_mult",
     "enable_loop_closure", "enable_gba_after_loop",
     "enable_loop_verification", "loop_verify_min_inliers",
     "loop_verify_min_ratio", "loop_verify_px", "loop_verify_min_gain",

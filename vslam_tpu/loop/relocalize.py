@@ -41,6 +41,7 @@ def relocalize(
     max_retries: int = 5,
     max_candidates: int = 5,
     frames_lost: int = 1,
+    gate_cap_mult: int = 12,
 ):
     """Returns (ok, T_w_c, inlier_pairs [(feat, landmark)], diag dict).
 
@@ -50,16 +51,20 @@ def relocalize(
     arrives ``frames_lost`` frames late, with the coasted pose frozen near
     the loss point while the true camera kept moving — the divergence
     grows roughly linearly per lost frame, so the acceptance window must
-    too (gate = motion_threshold * frames_lost), degrading to
-    inlier-count-only acceptance on long losses (ORB-SLAM's reloc has no
-    motion gate at all; the bounded version keeps fresh-loss recoveries
-    reference-faithful).
+    too (gate = motion_threshold * frames_lost). ``gate_cap_mult`` bounds
+    the scaling (r4 advisor finding: unbounded it degrades to inlier-
+    count-only acceptance, and a long loss could accept an aliased
+    candidate far off the trajectory; losses the capped gate cannot
+    explain fall through to the sustained-loss re-bootstrap). ORB-SLAM's
+    reloc has no motion gate at all; the bounded version keeps fresh-loss
+    recoveries reference-faithful.
 
     ``diag`` records why the search ended (for the bench/metrics
     counters): candidates tried, best PnP inlier count, best gate error.
     """
     diag = {"candidates": 0, "best_n": 0, "best_gate_err": None,
-            "gate": motion_threshold * max(1, int(frames_lost))}
+            "gate": motion_threshold * min(max(1, int(frames_lost)),
+                                           max(1, int(gate_cap_mult)))}
     candidates = detector.relocalization_candidates(bow, max_candidates)
     if not candidates:
         return False, None, [], diag

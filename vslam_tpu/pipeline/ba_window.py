@@ -29,6 +29,10 @@ class WindowProblem(NamedTuple):
     sel_kf_valid: jnp.ndarray  # [W2]
     sel_lm: jnp.ndarray       # [Lw] landmark slots
     sel_lm_valid: jnp.ndarray  # [Lw]
+    # in-window observations that did NOT fit the O cap (compaction drops
+    # them silently otherwise; the reference never drops in-window obs,
+    # map_utils.h:369-395, so truncation must be visible evidence)
+    obs_dropped: jnp.ndarray = None  # [] int32
 
 
 @functools.partial(jax.jit, static_argnames=("W2", "Lw", "O", "obs_per_lm"))
@@ -133,7 +137,9 @@ def build_window_problem(
         obs_uv=o_uv.astype(dtype),
         obs_valid=o_valid,
     )
-    return WindowProblem(prob, sel_kf, sel_kf_valid, sel_lm, sel_lm_valid)
+    obs_dropped = (jnp.sum(flat_valid) - jnp.sum(o_valid)).astype(jnp.int32)
+    return WindowProblem(prob, sel_kf, sel_kf_valid, sel_lm, sel_lm_valid,
+                         obs_dropped)
 
 
 @jax.jit
@@ -189,4 +195,5 @@ def run_window_ba(
     poses, points, stats = ba.solve_ba_schur(
         wp.prob, cam_name=cam_name, huber=huber, max_iters=max_iters)
     kf, lm = merge_window_result(kf, lm, wp, poses, points)
+    stats = dict(stats, obs_dropped=wp.obs_dropped)
     return kf, lm, stats

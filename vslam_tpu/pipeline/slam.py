@@ -288,7 +288,14 @@ class SlamSystem:
             num_hypotheses=self.cfg.ransac_hypotheses,
             max_retries=self.cfg.track_max_retries,
             max_candidates=self.cfg.reloc_max_candidates,
+            # the faithful driver relocalizes EVERY lost frame like the
+            # reference, so the model is at most one ATTEMPT old; still,
+            # repeated failures let the coast diverge the same way the
+            # streaming poll lag does — scale, but under the shared cap
+            # (r4 advisor: uncapped per-frame scaling reached 10x the
+            # reference's gate after ~10 lost frames)
             frames_lost=self._lost_count + 1,
+            gate_cap_mult=self.cfg.reloc_gate_cap_mult,
         )
         return ok, T_wc
 
@@ -636,6 +643,10 @@ class SlamSystem:
                 "inliers": self._scalars["inliers"],
                 "stereo_inliers": int(jnp.sum(stereo_inl)),
                 "new_landmarks": int(out.num_new),
+                # obs beyond the window_obs cap are dropped from the window
+                # BA; nonzero here means the cap is undersized (the
+                # reference never drops in-window obs, map_utils.h:369-395)
+                "window_obs_dropped": int(wp.obs_dropped),
                 "loops_closed": n_closed, "ok": ok}
 
     # ------------------------------------------------------------------

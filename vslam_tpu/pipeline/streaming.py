@@ -66,6 +66,10 @@ class StreamState(NamedTuple):
     log_kf: jnp.ndarray       # [F] bool
     log_ok: jnp.ndarray       # [F] bool
     log_slot: jnp.ndarray = None   # [F] int32 KF slot taken this frame (-1)
+    # window-BA observations dropped at the O cap this keyframe (0 on
+    # tracking frames): silent truncation must be visible evidence — the
+    # reference never drops in-window obs (map_utils.h:369-395)
+    log_wdrop: jnp.ndarray = None  # [F] int32
     # place recognition (StreamingSLAM only; None in VO mode) — the BoW
     # words and covisibility rows are produced on device inside the
     # keyframe branch and written into a keyframe EVENT RING so the host
@@ -104,9 +108,22 @@ class StreamState(NamedTuple):
 EV_CAP = 64
 
 
+def _pack_poll_blob(st: StreamState) -> jnp.ndarray:
+    """Pack everything the host poll consumes into ONE int32 blob.
+
+    Through the tunnel every separate d2h transfer pays a completion-
+    polling quantum (~27.5 ms), so the poll fetches one buffer. Layout
+    must match StreamingSLAM._poll_splits."""
+    return jnp.concatenate([
+        jnp.stack([st.frame, st.ev_count]),
+        st.log_ok.astype(jnp.int32),
+        st.ev_frame, st.ev_slot,
+        st.ev_words.reshape(-1), st.ev_covis.reshape(-1)])
+
+
 def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
                voc_depth: int = 0, store_features: bool = False,
-               chunk: int = 1):
+               chunk: int = 1, emit_poll: bool = False):
     """Build the fused per-frame step as a donated jitted function.
 
     ``voc_depth > 0`` compiles the BoW branch in (tree descent + word /
@@ -229,6 +246,7 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
                 max_iters=cfg.ba_max_iters)
             kf3, lm3 = ba_window.merge_window_result(kf2, lm2, wp, poses,
                                                      points)
+            wdrop = wp.obs_dropped
             in_cap = out.slot < K
             pose_kf = jnp.where(in_cap, kf3.pose_l[jnp.minimum(out.slot,
                                                                K - 1)], pose)
@@ -253,13 +271,14 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             else:
                 ev = (state.ev_count, state.ev_frame, state.ev_slot,
                       state.ev_words, state.ev_covis)
-            return kf3, lm3, pose_kf, slot, ev
+            return kf3, lm3, pose_kf, slot, ev, wdrop
 
         def tr_branch(op):
             kf, lm = op
             return (kf, lm, pose, state.last_kf_slot,
                     (state.ev_count, state.ev_frame, state.ev_slot,
-                     state.ev_words, state.ev_covis))
+                     state.ev_words, state.ev_covis),
+                    jnp.asarray(0, jnp.int32))
 
         # in relocalization mode a lost frame must NOT become a keyframe
         # (while relocalization still has a shot at a clean recovery): it
@@ -289,7 +308,7 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             do_kf = state.take_kf & (ok | bootstrap | rebootstrap)
         else:
             do_kf = state.take_kf
-        kf2, lm2, pose2, last_slot, ev = lax.cond(
+        kf2, lm2, pose2, last_slot, ev, wdrop = lax.cond(
             do_kf, kf_branch, tr_branch, (state.kf, state.lm))
 
         # advance (slam.cpp:1299-1301,1453-1455) + velocity-decay guard
@@ -335,6 +354,7 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
             log_ok=state.log_ok.at[f].set(ok, mode="drop"),
             log_slot=state.log_slot.at[f].set(
                 jnp.where(do_kf, last_slot, -1), mode="drop"),
+            log_wdrop=state.log_wdrop.at[f].set(wdrop, mode="drop"),
             ev_count=ev[0], ev_frame=ev[1], ev_slot=ev[2],
             ev_words=ev[3], ev_covis=ev[4],
         )
@@ -342,8 +362,16 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
     if chunk == 1:
         return jax.jit(step, donate_argnums=(0,))
 
-    def chunk_step(state: StreamState, imgs) -> StreamState:
-        return lax.scan(lambda s, im: (step(s, im), None), state, imgs)[0]
+    def chunk_step(state: StreamState, imgs):
+        st = lax.scan(lambda s, im: (step(s, im), None), state, imgs)[0]
+        if not emit_poll:
+            return st
+        # fold the poll payload into the chunked step's own outputs: the
+        # host consumes it LAGGED (one poll period later, via
+        # copy_to_host_async), so the steady-state poll pays neither a
+        # separate pack dispatch nor a blocking drain of the dispatch
+        # queue — r4's biggest residual wall cost at poll_every=32
+        return st, _pack_poll_blob(st)
 
     return jax.jit(chunk_step, donate_argnums=(0,))
 
@@ -432,6 +460,7 @@ class StreamingVO:
             log_kf=jnp.zeros((F,), bool),
             log_ok=jnp.zeros((F,), bool),
             log_slot=jnp.full((F,), -1, jnp.int32),
+            log_wdrop=jnp.zeros((F,), jnp.int32),
             tune=jnp.asarray(cfg.tune_vector(), dt),
             lost_run=jnp.asarray(0, jnp.int32),
             **bow_fields,
@@ -592,9 +621,9 @@ class StreamingVO:
 
     def results(self) -> dict:
         """One blocking fetch of every per-frame log + final pose."""
-        n, traj, inl, kfm, okm = jax.device_get(
+        n, traj, inl, kfm, okm, wdrop = jax.device_get(
             (self.state.frame, self.state.traj, self.state.log_inliers,
-             self.state.log_kf, self.state.log_ok))
+             self.state.log_kf, self.state.log_ok, self.state.log_wdrop))
         n = int(n)
         return {
             "frames": n,
@@ -602,6 +631,7 @@ class StreamingVO:
             "inliers": inl[:n],
             "is_keyframe": kfm[:n],
             "tracked_ok": okm[:n],
+            "window_obs_dropped": wdrop[:n],
         }
 
     def keyframe_trajectory(self):
@@ -705,15 +735,18 @@ class StreamingSLAM(StreamingVO):
         N, K = self.cfg.num_features, self.cfg.max_keyframes
         self._poll_splits = np.cumsum(
             [2, F, E, E, E * N])  # then ev_covis [E*K]
-
-        def pack(st: StreamState):
-            return jnp.concatenate([
-                jnp.stack([st.frame, st.ev_count]),
-                st.log_ok.astype(jnp.int32),
-                st.ev_frame, st.ev_slot,
-                st.ev_words.reshape(-1), st.ev_covis.reshape(-1)])
-
-        self._pack_poll = jax.jit(pack)
+        self._pack_poll = jax.jit(_pack_poll_blob)
+        # lagged poll (chunked dispatch only): the chunk step emits the
+        # poll blob as an output; the host starts an async d2h and consumes
+        # it one poll period later, so steady-state polls neither dispatch
+        # extra work nor block on the queue
+        self._lagged_blob = None
+        if self.chunk > 1:
+            self._step = _make_step(
+                self.cfg, self.cam_name, calib.width, calib.height,
+                voc_depth=vocabulary.depth,
+                store_features=cfg.enable_relocalization,
+                chunk=self.chunk, emit_poll=True)
 
     def _next_key(self):
         self._host_key, k = jax.random.split(self._host_key)
@@ -739,11 +772,11 @@ class StreamingSLAM(StreamingVO):
                 putg(g)
             for g in range(ngroups):
                 batch = futs.pop(g).result()
-                self.state = self._step(self.state, batch)
+                self.state, blob = self._step(self.state, batch)
                 if g + P < ngroups:
                     putg(g + P)
                 if ((g + 1) * C) % self.poll_every == 0:
-                    self.poll()
+                    self._poll_async(blob)
             for i in range(ngroups * C, n):
                 self.state = self._single_step()(
                     self.state, jax.device_put(np.ascontiguousarray(
@@ -774,6 +807,38 @@ class StreamingSLAM(StreamingVO):
         return n
 
     # ------------------------------------------------------------------
+    def _poll_async(self, blob):
+        """Lagged poll for the chunked stream: start an async d2h of this
+        boundary's blob (an output of the chunk step itself — no extra
+        dispatch) and consume the PREVIOUS boundary's blob, whose transfer
+        has had a full poll period to complete. The steady-state poll
+        therefore costs ~zero blocking time; reactions (keyframe handling,
+        relocalization, closure) land one poll period later than the
+        synchronous poll — the same lagged character the driver already
+        has (the reference's background threads merge late too,
+        slam.cpp:1410-1447). Consuming the previous blob also provides
+        the queue backpressure sync_every used to."""
+        try:
+            blob.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass  # backends without async copy: np.asarray blocks below
+        prev, self._lagged_blob = self._lagged_blob, blob
+        if prev is not None and self._consume_poll_blob(np.asarray(prev),
+                                                        stale=True):
+            self._sync_poll()
+
+    def _poll_flush(self):
+        """Consume any stashed lagged blob (end of run / before a forced
+        synchronous poll). Returns True if the stale blob asked for a
+        fresh synchronous follow-up (sustained loss seen)."""
+        prev, self._lagged_blob = self._lagged_blob, None
+        return (prev is not None
+                and self._consume_poll_blob(np.asarray(prev), stale=True))
+
+    def _sync_poll(self):
+        blob = jax.device_get(self._pack_poll(self.state))
+        self._consume_poll_blob(blob)
+
     def poll(self):
         """Process keyframe + loss events logged since the last poll.
 
@@ -782,10 +847,13 @@ class StreamingSLAM(StreamingVO):
         keyframe). Each separate d2h through the tunnel costs a
         completion-polling quantum (~27.5 ms), so fetch count — not
         bytes — is what the poll must minimize."""
+        self._poll_flush()
+        self._sync_poll()
+
+    def _consume_poll_blob(self, blob, stale: bool = False):
         import time as _time
 
         t_poll = _time.perf_counter()
-        blob = jax.device_get(self._pack_poll(self.state))
         head, ok_log, ev_frame, ev_slot, ev_words, ev_covis = \
             np.split(blob, self._poll_splits)
         n, ev_count = int(head[0]), int(head[1])
@@ -819,10 +887,19 @@ class StreamingSLAM(StreamingVO):
         if (self.cfg.enable_relocalization and self.detector.db.bow_of
                 and n >= R and not ok_log[n - R:n].any()
                 and n >= self._reloc_next_attempt):
+            if stale:
+                # lagged blob: the loss evidence is a poll period old and
+                # the live features/pose the recovery would use are newer.
+                # Ask the caller for one synchronous follow-up poll so the
+                # decision re-evaluates on fresh state (tracking may have
+                # recovered on its own in the window).
+                self._merge_gba_if_ready()
+                return True
             oks = np.nonzero(ok_log[:n])[0]
             frames_lost = int(n - 1 - oks[-1]) if len(oks) else n
             self._try_relocalize_stream(n, frames_lost)
         self._merge_gba_if_ready()
+        return False
 
     def _merge_gba_if_ready(self, force: bool = False):
         """Skip-merge a finished async global BA (slam.cpp:1410-1447).
@@ -866,9 +943,10 @@ class StreamingSLAM(StreamingVO):
         from ..loop import vocabulary as vocab_mod
 
         cfg = self.cfg
-        bits, valid, corners, cur_pose, vel = jax.device_get(
+        bits, valid, corners, cur_pose, vel, live_frame = jax.device_get(
             (self.state.cur_bits, self.state.cur_valid,
-             self.state.cur_corners, self.state.cur_pose, self.state.vel))
+             self.state.cur_corners, self.state.cur_pose, self.state.vel,
+             self.state.frame))
         if int(valid.sum()) < cfg.reloc_min_features:
             return  # blackout frame: nothing to recognize
         words = np.asarray(vocab_mod._descend(
@@ -887,9 +965,17 @@ class StreamingSLAM(StreamingVO):
             num_hypotheses=cfg.ransac_hypotheses,
             max_retries=cfg.track_max_retries,
             max_candidates=cfg.reloc_max_candidates,
-            frames_lost=frames_lost)
+            frames_lost=frames_lost,
+            gate_cap_mult=cfg.reloc_gate_cap_mult)
         self.reloc_events.append((frame_now, bool(ok)))
-        diag.update(frame=frame_now, frames_lost=frames_lost)
+        # applied_frame: the features/pose the recovery used belong to the
+        # newest frame the device has processed (the stream ran ahead of
+        # the poll); diagnostics downstream compare T_wc against GT at
+        # THIS frame, not at frame_now
+        diag.update(frame=frame_now, frames_lost=frames_lost,
+                    applied_frame=int(live_frame) - 1)
+        if ok:
+            diag["T_wc"] = [round(float(v), 4) for v in np.asarray(T_wc)]
         self.reloc_diags.append(diag)
         if not ok:
             self._reloc_failures += 1
@@ -898,7 +984,11 @@ class StreamingSLAM(StreamingVO):
                 cfg.reloc_backoff_cap_frames)
             return
         self._reloc_failures = 0
-        self._reloc_next_attempt = 0
+        # the patch only affects frames dispatched AFTER this point; the
+        # loss log keeps showing lost frames for the in-flight pipeline
+        # (~prefetch + poll lag frames), so hold off re-attempts until the
+        # recovery has had a chance to land in the log
+        self._reloc_next_attempt = frame_now + 2 * self.poll_every
         # patch the tracker: recovered pose, motion model at rest, and a
         # keyframe request so the next frame re-anchors the track (the
         # reference's reloc'd frame re-enters the normal KF decision).
