@@ -175,11 +175,15 @@ def run_real_sequence(dataset_path: str, calib, cfg, voc=None,
         slam.process_frame(img_l, img_r)
     fps = n / (time.time() - t0)
     fids, est_pos, _ = slam.keyframe_trajectory()
-    ate_val = float("nan")
+    ate_val, gt_len = float("nan"), float("nan")
     if seq.gt_positions is not None and len(fids) >= 3:
+        import numpy as np
+
         ate_val = ate_mod.ate_rmse(seq.timestamps[fids], est_pos,
                                    seq.gt_timestamps, seq.gt_positions)
-    return float(ate_val), len(fids), len(slam.loop_edges), fps
+        gt_len = float(np.linalg.norm(
+            np.diff(np.asarray(seq.gt_positions), axis=0), axis=1).sum())
+    return float(ate_val), len(fids), len(slam.loop_edges), fps, gt_len
 
 
 def main_dataset(args):
@@ -214,12 +218,14 @@ def main_dataset(args):
                 enable_relocalization=full, seed=base.seed)
             label = "slam" if full else "vo"
             try:
-                ate_val, n_kf, loops, fps = run_real_sequence(
+                ate_val, n_kf, loops, fps, gt_len = run_real_sequence(
                     path, calib, cfg, voc=voc, max_frames=args.max_frames)
             except Exception as e:  # one bad sequence must not kill the table
                 print(f"  {name} [{label}] FAILED: {e}", flush=True)
                 ate_val, n_kf, loops, fps = float("nan"), 0, 0, 0.0
+                gt_len = float("nan")
             row[label] = ate_val
+            row["gt_len"] = gt_len
             row[f"{label}_kf"] = n_kf
             row[f"{label}_loops"] = loops
             print(f"  {name} [{label}]: ATE {ate_val:.3f} m, {n_kf} KFs, "
@@ -234,12 +240,14 @@ def main_dataset(args):
         "Full SLAM = loop closure + GBA after loop + relocalization",
         "(slam.cpp:244-247); reference numbers from README.md:40-48.",
         "",
-        "| Sequence | Full SLAM (m) | Baseline VO (m) | loops closed |",
-        "|---|---|---|---|",
+        "| Sequence | Full SLAM (m) | Baseline VO (m) | loops closed "
+        "| GT path (m) | SLAM drift % |",
+        "|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(f"| {r['seq']} | {r['slam']:.3f} | {r['vo']:.3f} "
-                     f"| {r['slam_loops']} |")
+                     f"| {r['slam_loops']} | {r['gt_len']:.1f} "
+                     f"| {100.0 * r['slam'] / r['gt_len']:.1f} |")
     lines += ["", f"Generated by tools/ate_table.py --dataset-root "
               f"{args.dataset_root}"]
     with open(args.out, "w") as f:
@@ -274,9 +282,18 @@ def main():
 
     from vslam_tpu import synthetic
 
+    def traj_len(poses):
+        """GT path length (m) — the denominator that makes an ATE number
+        interpretable (VERDICT r4 #4: the reference's table is meters on
+        known ~60-130 m trajectories; a bare '2.7 m' on an unstated-scale
+        world carries no meaning)."""
+        return float(np.linalg.norm(
+            np.diff(np.asarray(poses)[:, :3], axis=0), axis=1).sum())
+
     rows = []
     t_start = time.time()
 
+    arc_len = None
     for world, gen in (
         ("arc (clean)", lambda: synthetic.generate(
             num_frames=24, num_points=500, seed=3)),
@@ -285,11 +302,12 @@ def main():
         vals = []
         for s in range(args.seeds):
             seq = synthetic.generate(num_frames=24, num_points=500, seed=3)
+            arc_len = traj_len(seq.poses)
             if world.startswith("arc (EuRoC"):
                 seq.images[:] = synthetic.degrade(seq.images, seed=3 + s)
             vals.append(run_vo(seq, seed=s))
             print(f"  {world} seed {s}: {vals[-1]:.3f} m", flush=True)
-        rows.append((world, "VO (streaming)", vals))
+        rows.append((world, "VO (streaming)", vals, arc_len))
 
     for nf, world in ((600, "pano orbit 1.75 rev (consistent tracking)"),
                       (300, "pano orbit 1.75 rev (organic drift, 300 "
@@ -314,7 +332,8 @@ def main():
                         if full else
                         ("VO control, matched KF hygiene" if hygiene
                          else "baseline VO"))
-            rows.append((world, cfg_name, vals))
+            rows.append((world, cfg_name, vals,
+                         traj_len(_pano_cache["seq"].poses)))
 
     lines = [
         "# Hermetic ATE table (synthetic ground truth)",
@@ -325,13 +344,15 @@ def main():
         f"(slam.cpp:1618-1710). {args.seeds} seeds per row; streaming",
         "drivers.",
         "",
-        "| World | Config | ATE RMSE (m), per seed | mean |",
-        "|---|---|---|---|",
+        "| World | Config | ATE RMSE (m), per seed | mean | GT path (m) "
+        "| drift % |",
+        "|---|---|---|---|---|---|",
     ]
-    for world, config, vals in rows:
+    for world, config, vals, length in rows:
         vs = ", ".join(f"{v:.3f}" for v in vals)
         lines.append(f"| {world} | {config} | {vs} | "
-                     f"{np.nanmean(vals):.3f} |")
+                     f"{np.nanmean(vals):.3f} | {length:.1f} | "
+                     f"{100.0 * np.nanmean(vals) / length:.1f} |")
     lines += [
         "",
         "Like the reference's table, the pano rows compare the FULL",

@@ -119,6 +119,13 @@ class SlamConfig:
     # chip); on a multi-chip topology the solve then genuinely overlaps
     # tracking instead of sharing the tracking chip's queue
     ba_device: "int | None" = None
+    # shard the async/offline GLOBAL BA over a data-axis mesh of this many
+    # devices (0/1 = single device): observations sharded over 'data',
+    # poses/points replicated, XLA inserts the CG-reduction psums
+    # (parallel/sharded_ba.py). The driver falls back to single-device
+    # when fewer devices exist. This is the driver path for the
+    # 4K-keyframe stretch config (BASELINE configs[4]).
+    gba_mesh_devices: int = 0
     # lockstep multi-sequence batching: pending keyframe requests latch on
     # device and the (vmapped, all-sequence) keyframe branch fires only on
     # frames divisible by this period, batching inserts together — with S

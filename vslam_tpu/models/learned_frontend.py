@@ -62,4 +62,22 @@ def extract_features_learned(
     return Features(corners=corners,
                     angles=jnp.zeros(num_features, jnp.float32),
                     bits=jnp.where(valid[:, None], bits, 0),
-                    valid=valid)
+                    valid=valid,
+                    octave=jnp.zeros(num_features, jnp.int32))
+
+
+def make_feature_fn(model: SuperPointTPU, params, num_features: int = 512,
+                    score_threshold: float = 0.015):
+    """A (img [H,W] uint8) -> Features callable for the drivers'
+    ``feature_fn`` hook (pipeline/streaming.py, pipeline/slam.py): the
+    learned frontend traced INTO the fused tracking step, params baked in
+    as compile-time constants (weights are fixed at inference). This is
+    the driver path that runs VO end-to-end on learned descriptors
+    (BASELINE configs[4] "swapped into the matcher")."""
+
+    def feature_fn(img):
+        return extract_features_learned(
+            model, params, img, num_features=num_features,
+            score_threshold=score_threshold)
+
+    return feature_fn

@@ -81,11 +81,18 @@ def detector_loss(logits, heat):
 
 
 def descriptor_loss(desc_a, desc_b, uv_a, uv_b, valid, margin_pos=1.0,
-                    margin_neg=0.2, lam=0.05):
+                    margin_neg=0.2, lam=1.0):
     """Hinge contrastive loss on cell descriptors at known correspondences.
 
     desc_* [B, Hc, Wc, D]; uv_* [B, M, 2] pixel coords of the same 3D points
     in both views; valid [B, M].
+
+    The negative term is normalized over the VALID pair count and weighted
+    at parity with the positive term: the r5 learned-VO drive exposed that
+    the old 0.05-weight full-matrix mean diluted the repulsion to nothing
+    — descriptors collapsed to one dominant direction and their sign
+    binarization produced near-identical 256-bit strings (Hamming min
+    distance 0 across unrelated points, no ratio-test discrimination).
     """
     def gather(desc, uv):
         cx = (uv[..., 0] // CELL).astype(jnp.int32)
@@ -100,10 +107,12 @@ def descriptor_loss(desc_a, desc_b, uv_a, uv_b, valid, margin_pos=1.0,
     pos = jnp.einsum("bmd,bmd->bm", da, db)
     vmask = valid[:, :, None] & valid[:, None, :]
     eye = jnp.eye(sim.shape[1], dtype=bool)[None]
-    neg = jnp.where(vmask & ~eye, sim, -1.0)
+    negmask = vmask & ~eye
+    neg = jnp.where(negmask, sim, -1.0)
     pos_l = jnp.maximum(0.0, margin_pos - pos) * valid
-    neg_l = jnp.maximum(0.0, neg - margin_neg)
-    return pos_l.sum() / jnp.maximum(valid.sum(), 1) + lam * neg_l.mean()
+    neg_l = jnp.maximum(0.0, neg - margin_neg) * negmask
+    return (pos_l.sum() / jnp.maximum(valid.sum(), 1)
+            + lam * neg_l.sum() / jnp.maximum(negmask.sum(), 1))
 
 
 def make_train_step(model: SuperPointTPU, tx):

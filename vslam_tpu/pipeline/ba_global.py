@@ -162,6 +162,18 @@ def _merge(kf: KeyframeState, lm: LandmarkState, poses, points):
     return kf, lm
 
 
+def gba_mesh(cfg):
+    """The driver's mesh for sharded global BA, per
+    SlamConfig.gba_mesh_devices. Returns None (single-device solve) when
+    sharding is off or the process has too few devices."""
+    n = int(getattr(cfg, "gba_mesh_devices", 0) or 0)
+    if n <= 1 or len(jax.devices()) < n:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    return make_mesh(n, axes=("data",))
+
+
 def run_global_ba(
     kf: KeyframeState,
     lm: LandmarkState,
@@ -171,13 +183,20 @@ def run_global_ba(
     huber: float = 1.0,
     max_iters: int = 15,
     cg_iters: int = 25,
+    mesh=None,
 ):
-    """Build + solve + merge. Returns (kf, lm, stats)."""
+    """Build + solve + merge. Returns (kf, lm, stats).
+
+    ``mesh`` (a jax.sharding.Mesh with a 'data' axis, from
+    SlamConfig.gba_mesh_devices) shards the solve's observation axis over
+    the mesh via parallel/sharded_ba.py — the driver path for multi-chip
+    global BA (always the flat LM-CG solver; the blocked Schur solver is
+    single-device)."""
     n_kf = int(kf.next_slot)
     n_lm = int(lm.next_slot)
     K2 = _pow2(n_kf)
     Lw = _pow2(n_lm, lo=256)
-    if K2 <= BLOCKED_MAX_PAIRS:
+    if mesh is None and K2 <= BLOCKED_MAX_PAIRS:
         from ..solvers import ba_blocked
 
         bprob = _build_blocked(kf, lm, intr0, intr1, K2=K2, Lw=Lw)
@@ -187,6 +206,10 @@ def run_global_ba(
         M2 = int(lm.all_kf.shape[1])
         O = _pow2(min(n_lm * 6, Lw * M2), lo=1024)
         prob = _build(kf, lm, intr0, intr1, K2=K2, Lw=Lw, O=O)
+        if mesh is not None:
+            from ..parallel import sharded_ba
+
+            prob = sharded_ba.shard_problem(prob, mesh)
         # stepped solver: one bounded device program per LM iteration (a
         # monolithic full-iteration program at global-BA size was observed
         # to hard-fault the tunneled chip when early termination doesn't
@@ -194,6 +217,10 @@ def run_global_ba(
         poses, points, stats = ba_cg.solve_ba_cg_stepped(
             prob, cam_name=cam_name, huber=huber, max_iters=max_iters,
             cg_iters=cg_iters)
+        if mesh is not None:
+            dev0 = jax.devices()[0]
+            poses = jax.device_put(poses, dev0)
+            points = jax.device_put(points, dev0)
     kf, lm = _merge(kf, lm, poses, points)
     return kf, lm, stats
 
@@ -232,24 +259,30 @@ def dispatch_global_ba(
     huber: float = 1.0,
     max_iters: int = 15,
     cg_iters: int = 25,
+    mesh=None,
 ) -> PendingGBA:
     """Enqueue a full global BA without blocking on its result.
 
     The two ``int()`` reads sync only the allocation cursors (the caller is
     already at a sync point when loop closure fires); the solve itself runs
     asynchronously and the caller merges with ``merge_global_ba`` once
-    ``pending.ready()``."""
+    ``pending.ready()``. ``mesh`` shards the solve over a device mesh
+    (see run_global_ba)."""
     n_kf = int(kf.next_slot)
     n_lm = int(lm.next_slot)
     K2 = _pow2(n_kf)
     Lw = _pow2(n_lm, lo=256)
-    blocked = K2 <= BLOCKED_MAX_PAIRS
+    blocked = mesh is None and K2 <= BLOCKED_MAX_PAIRS
     if blocked:
         prob = _build_blocked(kf, lm, intr0, intr1, K2=K2, Lw=Lw)
     else:
         M2 = int(lm.all_kf.shape[1])
         O = _pow2(min(n_lm * 6, Lw * M2), lo=1024)
         prob = _build(kf, lm, intr0, intr1, K2=K2, Lw=Lw, O=O)
+        if mesh is not None:
+            from ..parallel import sharded_ba
+
+            prob = sharded_ba.shard_problem(prob, mesh)
     snap_kf = kf.active.copy()
     snap_lm = lm.active.copy()
     # Materialize the snapshot BEFORE the caller enqueues more (donated)
@@ -269,6 +302,13 @@ def dispatch_global_ba(
         poses, points, _stats = ba_cg.solve_ba_cg_stepped(
             prob, cam_name=cam_name, huber=huber, max_iters=max_iters,
             cg_iters=cg_iters)
+        if mesh is not None:
+            # bring the (replicated) results home: the merge runs on the
+            # tracking device's state buffers; the copy enqueues
+            # asynchronously like the solve
+            dev0 = jax.devices()[0]
+            poses = jax.device_put(poses, dev0)
+            points = jax.device_put(points, dev0)
     return PendingGBA(
         poses=poses, points=points,
         n_kf=jnp.asarray(n_kf, jnp.int32), n_lm=jnp.asarray(n_lm, jnp.int32),

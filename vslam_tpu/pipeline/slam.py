@@ -33,9 +33,13 @@ from . import ba_global, ba_window, keyframe as kf_mod, tracking
 
 
 class SlamSystem:
-    def __init__(self, calib: Calibration, config: Optional[SlamConfig] = None):
+    def __init__(self, calib: Calibration, config: Optional[SlamConfig] = None,
+                 feature_fn=None):
         self.cfg = config or SlamConfig()
         cfg = self.cfg
+        # optional learned frontend: (img [H,W] uint8) -> Features with
+        # cfg.num_features slots (models/learned_frontend.make_feature_fn)
+        self.feature_fn = feature_fn
         self.calib = calib
         self.cam_name = calib.cam_types[0]
         self.width, self.height = calib.width, calib.height
@@ -143,6 +147,8 @@ class SlamSystem:
         res = tracking.track_frame(
             self._next_key(), jnp.asarray(img_l), self.lm, predicted,
             self.track.current_pose, self.track.vel, self.intr0,
+            feats=(self.feature_fn(jnp.asarray(img_l))
+                   if self.feature_fn is not None else None),
             cam_name=self.cam_name, num_features=cfg.num_features,
             inview_cap=cfg.max_inview_landmarks,
             width=self.width, height=self.height,
@@ -512,12 +518,15 @@ class SlamSystem:
         if cfg.enable_relocalization:
             self.tracking_ok = ok
 
-        feats_r = extract_features(jnp.asarray(img_r),
-                                   num_features=cfg.num_features,
-                                   quality_level=cfg.quality_level,
-                                   min_distance=cfg.min_distance,
-                                   rotate_features=cfg.rotate_features,
-                                   num_octaves=cfg.num_octaves)
+        if self.feature_fn is not None:
+            feats_r = self.feature_fn(jnp.asarray(img_r))
+        else:
+            feats_r = extract_features(jnp.asarray(img_r),
+                                       num_features=cfg.num_features,
+                                       quality_level=cfg.quality_level,
+                                       min_distance=cfg.min_distance,
+                                       rotate_features=cfg.rotate_features,
+                                       num_octaves=cfg.num_octaves)
         stereo_j, stereo_inl = kf_mod.stereo_match(
             res.feats, feats_r, self.T_0_1, self.intr0, self.intr1,
             cam_name=self.cam_name, threshold=cfg.match_max_dist,
@@ -630,7 +639,8 @@ class SlamSystem:
             self._pending_gba = ba_global.dispatch_global_ba(
                 self.kf, self.lm, self.intr0, self.intr1,
                 cam_name=self.cam_name, huber=cfg.ba_huber_px,
-                max_iters=cfg.gba_max_iters, cg_iters=cfg.gba_cg_iters)
+                max_iters=cfg.gba_max_iters, cg_iters=cfg.gba_cg_iters,
+                mesh=ba_global.gba_mesh(cfg))
 
         # current pose = the new keyframe's (pre-BA) pose, exactly like the
         # reference reading cameras[fcidl] while BA runs in the background
@@ -657,7 +667,8 @@ class SlamSystem:
         self._merge_pending_gba(force=True)
         self.kf, self.lm, stats = ba_global.run_global_ba(
             self.kf, self.lm, self.intr0, self.intr1,
-            cam_name=self.cam_name, huber=self.cfg.ba_huber_px)
+            cam_name=self.cam_name, huber=self.cfg.ba_huber_px,
+            mesh=ba_global.gba_mesh(self.cfg))
         return stats
 
     def render_overlay(self, img_l) -> "np.ndarray":

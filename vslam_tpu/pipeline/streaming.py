@@ -123,7 +123,7 @@ def _pack_poll_blob(st: StreamState) -> jnp.ndarray:
 
 def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
                voc_depth: int = 0, store_features: bool = False,
-               chunk: int = 1, emit_poll: bool = False):
+               chunk: int = 1, emit_poll: bool = False, feature_fn=None):
     """Build the fused per-frame step as a donated jitted function.
 
     ``voc_depth > 0`` compiles the BoW branch in (tree descent + word /
@@ -169,6 +169,10 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
         res = tracking.track_frame(
             k1, img_l, state.lm, predicted, state.last_pose, state.vel,
             state.intr0,
+            # learned-frontend hook: feature_fn closes over the model
+            # params (baked into the compiled step as constants — the
+            # weights are fixed at inference)
+            feats=feature_fn(img_l) if feature_fn is not None else None,
             cam_name=cam_name, num_features=cfg.num_features,
             inview_cap=cfg.max_inview_landmarks,
             width=width, height=height,
@@ -192,12 +196,15 @@ def _make_step(cfg: SlamConfig, cam_name: str, width: int, height: int,
 
         def kf_branch(op):
             kf, lm = op
-            feats_r = extract_features(
-                img_r, num_features=cfg.num_features,
-                quality_level=P("quality_level"),
-                min_distance=cfg.min_distance,
-                rotate_features=cfg.rotate_features,
-                num_octaves=cfg.num_octaves)
+            if feature_fn is not None:
+                feats_r = feature_fn(img_r)
+            else:
+                feats_r = extract_features(
+                    img_r, num_features=cfg.num_features,
+                    quality_level=P("quality_level"),
+                    min_distance=cfg.min_distance,
+                    rotate_features=cfg.rotate_features,
+                    num_octaves=cfg.num_octaves)
             stereo_j, stereo_inl = kf_mod.stereo_match(
                 res.feats, feats_r, state.T_0_1, state.intr0, state.intr1,
                 cam_name=cam_name, threshold=P("match_max_dist"),
@@ -384,7 +391,8 @@ class StreamingVO:
                  max_frames: int = 8192,
                  vocabulary=None,
                  store_features: bool = False,
-                 chunk: int = 1):
+                 chunk: int = 1,
+                 feature_fn=None):
         import math
 
         self.cfg = cfg = config or SlamConfig()
@@ -394,12 +402,17 @@ class StreamingVO:
         self.voc = vocabulary
         self.store_features = store_features
         self.chunk = max(1, int(chunk))
+        # optional learned frontend: (img [H,W] uint8) -> Features with
+        # cfg.num_features slots, traced into the fused step (see
+        # models/learned_frontend.make_feature_fn)
+        self.feature_fn = feature_fn
         self.pnp_threshold = 1.0 - math.cos(
             math.atan(cfg.pnp_inlier_thresh_px / 500.0))
         self._step = _make_step(
             cfg, self.cam_name, calib.width, calib.height,
             voc_depth=vocabulary.depth if vocabulary is not None else 0,
-            store_features=store_features, chunk=self.chunk)
+            store_features=store_features, chunk=self.chunk,
+            feature_fn=feature_fn)
         # per-frame variant for process_frame() and run() tails, compiled
         # lazily (chunk == 1 shares the main program)
         self._step1 = self._step if self.chunk == 1 else None
@@ -411,7 +424,8 @@ class StreamingVO:
                 self.cfg, self.cam_name, self.calib.width,
                 self.calib.height,
                 voc_depth=self.voc.depth if self.voc is not None else 0,
-                store_features=self.store_features, chunk=1)
+                store_features=self.store_features, chunk=1,
+                feature_fn=self.feature_fn)
         return self._step1
 
     def reset(self):
@@ -680,7 +694,7 @@ class StreamingSLAM(StreamingVO):
 
     def __init__(self, calib: Calibration, config: Optional[SlamConfig],
                  vocabulary, max_frames: int = 8192, poll_every: int = 16,
-                 chunk: int = 1):
+                 chunk: int = 1, feature_fn=None):
         if vocabulary is None:
             raise ValueError("StreamingSLAM requires a pretrained "
                              "vocabulary (loop.vocabulary.train or "
@@ -688,7 +702,7 @@ class StreamingSLAM(StreamingVO):
         cfg = config or SlamConfig()
         super().__init__(calib, cfg, max_frames, vocabulary=vocabulary,
                          store_features=cfg.enable_relocalization,
-                         chunk=chunk)
+                         chunk=chunk, feature_fn=feature_fn)
         from ..loop.detector import LoopDetector
 
         import collections
@@ -746,7 +760,8 @@ class StreamingSLAM(StreamingVO):
                 self.cfg, self.cam_name, calib.width, calib.height,
                 voc_depth=vocabulary.depth,
                 store_features=cfg.enable_relocalization,
-                chunk=self.chunk, emit_poll=True)
+                chunk=self.chunk, emit_poll=True,
+                feature_fn=self.feature_fn)
 
     def _next_key(self):
         self._host_key, k = jax.random.split(self._host_key)
@@ -775,8 +790,8 @@ class StreamingSLAM(StreamingVO):
                 self.state, blob = self._step(self.state, batch)
                 if g + P < ngroups:
                     putg(g + P)
-                if ((g + 1) * C) % self.poll_every == 0:
-                    self._poll_async(blob)
+                self._poll_async(
+                    blob, force=((g + 1) * C) % self.poll_every == 0)
             for i in range(ngroups * C, n):
                 self.state = self._single_step()(
                     self.state, jax.device_put(np.ascontiguousarray(
@@ -807,24 +822,38 @@ class StreamingSLAM(StreamingVO):
         return n
 
     # ------------------------------------------------------------------
-    def _poll_async(self, blob):
-        """Lagged poll for the chunked stream: start an async d2h of this
-        boundary's blob (an output of the chunk step itself — no extra
-        dispatch) and consume the PREVIOUS boundary's blob, whose transfer
-        has had a full poll period to complete. The steady-state poll
-        therefore costs ~zero blocking time; reactions (keyframe handling,
-        relocalization, closure) land one poll period later than the
-        synchronous poll — the same lagged character the driver already
-        has (the reference's background threads merge late too,
-        slam.cpp:1410-1447). Consuming the previous blob also provides
-        the queue backpressure sync_every used to."""
+    def _poll_async(self, blob, force: bool = False):
+        """Lagged poll for the chunked stream: every chunk boundary emits
+        the poll blob as an output of the step itself (no extra dispatch);
+        the host starts an async d2h and consumes the previously-stashed
+        blob OPPORTUNISTICALLY — immediately if its transfer already
+        completed (near-free), else it waits, except at ``poll_every``
+        boundaries (``force``) where consumption blocks so progress and
+        queue backpressure are guaranteed.
+
+        On a quiet tunnel transfers finish within one chunk, so reactions
+        (keyframe handling, relocalization, closure) land ~one chunk late
+        — close to the old synchronous poll's latency without its
+        dispatch-queue drain (the r5 lag experiment measured reloc
+        arriving 27 frames after a loss instead of 11, too late to
+        recover on a rotating scene). Under congestion the consume
+        degrades gracefully back to poll_every cadence."""
         try:
             blob.copy_to_host_async()
         except (AttributeError, RuntimeError):
             pass  # backends without async copy: np.asarray blocks below
-        prev, self._lagged_blob = self._lagged_blob, blob
-        if prev is not None and self._consume_poll_blob(np.asarray(prev),
-                                                        stale=True):
+        prev = self._lagged_blob
+        if prev is None:
+            self._lagged_blob = blob
+            return
+        try:
+            ready = prev.is_ready()
+        except (AttributeError, RuntimeError):
+            ready = True
+        if not (force or ready):
+            return  # keep the oldest in-flight blob; drop this boundary's
+        self._lagged_blob = blob
+        if self._consume_poll_blob(np.asarray(prev), stale=True):
             self._sync_poll()
 
     def _poll_flush(self):
@@ -1152,4 +1181,5 @@ class StreamingSLAM(StreamingVO):
                         self.state.intr1, cam_name=self.cam_name,
                         huber=cfg.ba_huber_px,
                         max_iters=cfg.gba_max_iters,
-                        cg_iters=cfg.gba_cg_iters)
+                        cg_iters=cfg.gba_cg_iters,
+                        mesh=ba_global.gba_mesh(cfg))

@@ -89,12 +89,19 @@ def track_frame(
     min_distance: int = 8,
     rotate_features: bool = True,
     num_octaves: int = 1,
+    feats: Features = None,
 ) -> TrackResult:
-    feats = extract_features(img_l, num_features=num_features,
-                             quality_level=quality_level,
-                             min_distance=min_distance,
-                             rotate_features=rotate_features,
-                             num_octaves=num_octaves)
+    """``feats`` overrides the built-in rBRIEF extraction with
+    pre-computed Features of the left image — the hook that swaps a
+    learned frontend (models/learned_frontend.py) into the matcher while
+    the rest of the fused step (projection, gated Hamming matching,
+    RANSAC PnP, motion gate) is unchanged (BASELINE configs[4])."""
+    if feats is None:
+        feats = extract_features(img_l, num_features=num_features,
+                                 quality_level=quality_level,
+                                 min_distance=min_distance,
+                                 rotate_features=rotate_features,
+                                 num_octaves=num_octaves)
 
     # ---- project + compact in-view landmarks (newest-first) ----
     proj, in_view = project_landmarks(
