@@ -163,6 +163,18 @@ class SlamConfig:
     # losses longer than the capped gate can explain fall through to the
     # sustained-loss re-bootstrap instead (r4 advisor finding).
     reloc_gate_cap_mult: int = 12
+    # the cap when loop closure is DISABLED: a wide gate lets reloc accept
+    # a recovery in a gauge far from the live track's (on a revisit after
+    # drift, the coast-to-recovery jump IS the accumulated drift). With LC
+    # on, the subsequent closure merges the gauges and the full config
+    # wins; with LC off nothing can, and the map holds two internally-
+    # consistent but mutually-drifted segments — the r5 ablation measured
+    # pre-loss 0.42 m / post-loss 1.49 m / global 3.55 m (gauge tear).
+    # The reference's reloc gate never scales at all (tracking.h:388-405),
+    # so restricting the scale-up to LC-enabled configs is the faithful
+    # rule; LC-off losses beyond this fall through to re-bootstrap, which
+    # extends the map in the SINGLE live gauge.
+    reloc_gate_cap_mult_no_lc: int = 3
     # sustained-loss re-bootstrap (reference semantics: a lost frame with
     # inliers < threshold takes a keyframe at the coasted pose,
     # slam.cpp:1374-1377 — the map keeps extending in a drifted gauge and
@@ -281,7 +293,7 @@ HOST_TUNABLE = frozenset({
     "gba_max_iters", "gba_cg_iters",
     "reloc_max_candidates", "reloc_lost_frames",
     "reloc_backoff_frames", "reloc_backoff_cap_frames",
-    "reloc_gate_cap_mult",
+    "reloc_gate_cap_mult", "reloc_gate_cap_mult_no_lc",
     "enable_loop_closure", "enable_gba_after_loop",
     "enable_loop_verification", "loop_verify_min_inliers",
     "loop_verify_min_ratio", "loop_verify_px", "loop_verify_min_gain",

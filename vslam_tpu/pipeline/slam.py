@@ -301,7 +301,12 @@ class SlamSystem:
             # (r4 advisor: uncapped per-frame scaling reached 10x the
             # reference's gate after ~10 lost frames)
             frames_lost=self._lost_count + 1,
-            gate_cap_mult=self.cfg.reloc_gate_cap_mult,
+            # cross-gauge recoveries are only safe when loop closure can
+            # merge the gauges afterwards (see config.py)
+            gate_cap_mult=(self.cfg.reloc_gate_cap_mult
+                           if self.cfg.enable_loop_closure else
+                           min(self.cfg.reloc_gate_cap_mult,
+                               self.cfg.reloc_gate_cap_mult_no_lc)),
         )
         return ok, T_wc
 

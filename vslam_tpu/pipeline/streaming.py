@@ -735,6 +735,22 @@ class StreamingSLAM(StreamingVO):
         self.loop_stats = collections.Counter()
         self._polled_to = 0
         self._ev_consumed = 0
+        # LOST MODE: deep pipelining (prefetch + lagged polls) gives
+        # throughput but ~2*poll_every+prefetch frames of reaction
+        # latency — measured fatal for relocalization on rotating scenes
+        # (the view leaves the mapped region before the recovery can
+        # land, and the sustained-loss re-bootstrap always wins the
+        # race). When a fresh poll shows the newest frames lost, the run
+        # loop drops to synchronous per-chunk polling (draining the
+        # pipeline, latency ~chunk frames) until tracking recovers —
+        # the reference pays reloc cost on every lost frame too
+        # (slam.cpp:1355-1359); paying throughput only while lost is the
+        # streaming analogue.
+        self._lost_mode = False
+        # adaptive lagged-consume stride, in chunk groups (see _poll_async)
+        self._consume_stride = 1
+        self._stride_limit = max(1, poll_every // max(1, self.chunk))
+        self._group_i = -1
         self._last_closure_frame = -(10 ** 9)
         self._pending_gba = None
         self.gba_merges = 0
@@ -792,6 +808,8 @@ class StreamingSLAM(StreamingVO):
                     putg(g + P)
                 self._poll_async(
                     blob, force=((g + 1) * C) % self.poll_every == 0)
+                if self._lost_mode:
+                    self._sync_poll()
             for i in range(ngroups * C, n):
                 self.state = self._single_step()(
                     self.state, jax.device_put(np.ascontiguousarray(
@@ -824,36 +842,50 @@ class StreamingSLAM(StreamingVO):
     # ------------------------------------------------------------------
     def _poll_async(self, blob, force: bool = False):
         """Lagged poll for the chunked stream: every chunk boundary emits
-        the poll blob as an output of the step itself (no extra dispatch);
-        the host starts an async d2h and consumes the previously-stashed
-        blob OPPORTUNISTICALLY — immediately if its transfer already
-        completed (near-free), else it waits, except at ``poll_every``
-        boundaries (``force``) where consumption blocks so progress and
-        queue backpressure are guaranteed.
+        the poll blob as an output of the step itself (no extra
+        dispatch); the host consumes the PREVIOUS boundary's blob with a
+        blocking fetch on an ADAPTIVE stride.
 
-        On a quiet tunnel transfers finish within one chunk, so reactions
-        (keyframe handling, relocalization, closure) land ~one chunk late
-        — close to the old synchronous poll's latency without its
-        dispatch-queue drain (the r5 lag experiment measured reloc
-        arriving 27 frames after a loss instead of 11, too late to
-        recover on a rotating scene). Under congestion the consume
-        degrades gracefully back to poll_every cadence."""
+        The block waits for the device to reach that boundary (bounding
+        the dispatch queue to ~stride chunks) plus the tunnel's
+        completion-polling quantum. On a quiet tunnel the quantum is
+        ~0 ms, so consuming EVERY boundary is near-free and loss
+        reactions land within ~2 chunks of the event — the latency
+        relocalization needs on a rotating scene (r5 measured: an
+        attempt 27 frames after the loss finds 1 correspondence where
+        the 11-frame-late attempt finds a full inlier set). Under
+        congestion each consume can cost 30-70 ms, so the stride backs
+        off exponentially up to poll_every — recovery latency degrades
+        together with everything else the tunnel does, and the per-run
+        quantum probe in the bench records attributes it. A consumed
+        blob showing recent loss snaps the stride back to 1.
+        """
         try:
             blob.copy_to_host_async()
         except (AttributeError, RuntimeError):
             pass  # backends without async copy: np.asarray blocks below
-        prev = self._lagged_blob
+        prev, self._lagged_blob = self._lagged_blob, blob
+        self._group_i += 1
         if prev is None:
-            self._lagged_blob = blob
             return
-        try:
-            ready = prev.is_ready()
-        except (AttributeError, RuntimeError):
-            ready = True
-        if not (force or ready):
-            return  # keep the oldest in-flight blob; drop this boundary's
-        self._lagged_blob = blob
-        if self._consume_poll_blob(np.asarray(prev), stale=True):
+        if not force and self._group_i % self._consume_stride:
+            return  # not due: newest blob stays stashed (lag-1 freshness)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        host_blob = np.asarray(prev)
+        wait_ms = (_time.perf_counter() - t0) * 1e3
+        escalate = self._consume_poll_blob(host_blob, stale=True)
+        # adapt: cheap consumes (quiet tunnel / device ahead) -> every
+        # boundary; expensive ones back off toward poll_every cadence
+        if escalate or self._lost_mode:
+            self._consume_stride = 1
+        elif wait_ms < 6.0:
+            self._consume_stride = 1
+        elif wait_ms > 15.0:
+            self._consume_stride = min(self._consume_stride * 2,
+                                       self._stride_limit)
+        if escalate:
             self._sync_poll()
 
     def _poll_flush(self):
@@ -910,6 +942,10 @@ class StreamingSLAM(StreamingVO):
         # stall; 12 futile attempts in one r3 bench run); any tracked-ok
         # frame resets the backoff.
         R = self.cfg.reloc_lost_frames
+        if not stale and self.cfg.enable_relocalization:
+            # fresh info only: enter/exit the low-latency lost mode
+            self._lost_mode = bool(
+                n > 0 and not ok_log[max(0, n - R):n].any())
         if n > 0 and ok_log[n - 1]:
             self._reloc_failures = 0
             self._reloc_next_attempt = 0
@@ -995,7 +1031,12 @@ class StreamingSLAM(StreamingVO):
             max_retries=cfg.track_max_retries,
             max_candidates=cfg.reloc_max_candidates,
             frames_lost=frames_lost,
-            gate_cap_mult=cfg.reloc_gate_cap_mult)
+            # cross-gauge recoveries are only safe when loop closure can
+            # merge the gauges afterwards (see config.py)
+            gate_cap_mult=(cfg.reloc_gate_cap_mult
+                           if cfg.enable_loop_closure else
+                           min(cfg.reloc_gate_cap_mult,
+                               cfg.reloc_gate_cap_mult_no_lc)))
         self.reloc_events.append((frame_now, bool(ok)))
         # applied_frame: the features/pose the recovery used belong to the
         # newest frame the device has processed (the stream ran ahead of
