@@ -190,9 +190,10 @@ def bench_single(em: Emitter, frames, calib, use_slam_driver: bool,
     runs = []
     vo = None
     while len(runs) < max_repeats:
-        # chunk=4: one dispatch + one h2d per 4 frames (r4 measured
-        # ~2x streaming throughput through the tunnel; see _make_step)
-        vo = StreamingVO(calib, cfg, max_frames=len(frames) + 8, chunk=4)
+        # chunk=8: one dispatch + one h2d per 8 frames (r4 measured ~2x
+        # streaming throughput at chunk=4; r5's full-SLAM sweep measured
+        # chunk=8 strictly better through the tunnel; see _make_step)
+        vo = StreamingVO(calib, cfg, max_frames=len(frames) + 8, chunk=8)
         # warmup: compile both branches (the first frames include
         # keyframes and tracking frames) and flush the pipeline
         vo.run(frames[:WARMUP_FRAMES], sync_every=0)
@@ -263,11 +264,17 @@ def full_slam_world(num_frames: int = 288, num_features: int = 300):
             # with a long-lived tail; the per-iteration Schur cost scales
             # with the PADDED obs count, and the KF branch is the
             # full-SLAM fps limiter at the pano world's 2x KF cadence).
-            # window_obs sized from the measured occupancy (r5: peak 4611
-            # in-window obs; the old 4096 cap dropped up to 515) — the
-            # window_obs_dropped counter in the per-run records keeps any
-            # future truncation visible (r3 advisor / r4 VERDICT #7).
-            window_points=2048, window_obs=6144, ba_obs_per_lm=4,
+            # window_obs=4096 DELIBERATELY truncates (~515 of ~4600 peak
+            # in-window obs, reported per-run via the obs_drop counter —
+            # r4 VERDICT #7's visibility requirement): together with the
+            # 300-feature budget it is the starvation that makes drift
+            # accrue organically (the MH04/MH05 analogue this bench
+            # exists to exercise). Sizing the cap to 6144 was measured
+            # (r5) to remove tracking loss entirely — 287/288 frames
+            # tracked, no reloc, no closure, ATE 2.19 from uncorrected
+            # drift — i.e. a well-fed window BA turns the workload into
+            # the consistent-world case and the recovery machinery idles.
+            window_points=2048, window_obs=4096, ba_obs_per_lm=4,
             ba_max_iters=10,
             enable_relocalization=full if reloc is None else reloc,
             enable_loop_closure=full if lc is None else lc,
@@ -377,10 +384,13 @@ def bench_full_slam(em: Emitter, num_frames: int = 288,
                 f"async GBA inside the timed region; trained BoW, "
                 f"poll_every={poll_every}, chunk={chunk}; VO control shares "
                 f"the lost-frame KF gate")
+    # phase marker: a budget/timeout kill during the (minutes-long, under
+    # tunnel congestion) warmup still leaves a line saying so
+    em.emit(full_slam_phase="warmup", full_slam_quantum_warm=_quantum_probe())
     t_w = time.monotonic()
     warmup_fps, _ = one_run(True)  # compiles land here, not in the runs
     warm_s = time.monotonic() - t_w
-    em.emit(full_slam_warmup_fps=round(warmup_fps, 2))
+    em.emit(full_slam_phase="timed", full_slam_warmup_fps=round(warmup_fps, 2))
     em.emit_detail(full_slam_config=cfg_note)
 
     run_records = []     # compact: in the stdout line
@@ -466,7 +476,7 @@ def bench_sample(em: Emitter, max_frames: int = 124):
     runs = []
     kfs = 0
     for _ in range(2):
-        vo = StreamingVO(calib, cfg, max_frames=len(frames) + 8, chunk=4)
+        vo = StreamingVO(calib, cfg, max_frames=len(frames) + 8, chunk=8)
         vo.run(frames[:WARMUP_FRAMES], sync_every=0)
         jax.block_until_ready(vo.state.frame)
         t0 = time.perf_counter()

@@ -707,9 +707,12 @@ class StreamingSLAM(StreamingVO):
 
         import collections
 
-        if poll_every > EV_CAP:
-            raise ValueError(f"poll_every={poll_every} can outrun the "
-                             f"keyframe event ring (EV_CAP={EV_CAP})")
+        # lagged consumption adds up to one chunk boundary of extra age
+        # to the newest-unconsumed window
+        if poll_every + max(1, chunk) > EV_CAP:
+            raise ValueError(f"poll_every={poll_every} (+chunk={chunk} "
+                             f"lag) can outrun the keyframe event ring "
+                             f"(EV_CAP={EV_CAP})")
         if self.chunk > 1 and poll_every % self.chunk:
             raise ValueError(f"poll_every={poll_every} must be a multiple "
                              f"of chunk={self.chunk} (polls land on chunk "
