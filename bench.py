@@ -464,6 +464,11 @@ def bench_sample(em: Emitter, max_frames: int = 124):
         em.emit(sample_skipped="no sample data")
         return
     frames, calib, src = load_workload(True, max_frames)
+    # timed region must be a whole number of chunks: a partial tail falls
+    # back to the per-frame program, whose first compile would otherwise
+    # land INSIDE the timed region (measured: 2.8 fps run 1 vs 18 run 2)
+    frames = frames[:WARMUP_FRAMES
+                    + (len(frames) - WARMUP_FRAMES) // 8 * 8]
     from vslam_tpu.config import SlamConfig
     from vslam_tpu.pipeline.streaming import StreamingVO
 

@@ -361,10 +361,13 @@ def main():
         "revisit loop:",
         "",
         "- On the CONSISTENT world (600 features) tracking re-attaches to",
-        "  the old map through guided matching on the revisit, so no",
-        "  closure is *needed*; the SLAM row pins that the full machinery",
-        "  does not degrade the map (reference analogue: MH02/V1_1, where",
-        "  SLAM ~ VO).",
+        "  the old map through guided matching on the revisit; the SLAM",
+        "  row pins that the full machinery never degrades the map, and",
+        "  where a genuine residual gauge separation exists at the",
+        "  revisit the verified closure may fire and IMPROVE it — the",
+        "  identity-gain gate admits only corrections that beat the",
+        "  current poses at explaining the old structure (reference",
+        "  analogue: MH02/V1_1, where SLAM ~ VO).",
         "- On the ORGANIC-DRIFT world (300 features) the gauges separate",
         "  and closures must cut the accumulated error (reference",
         "  analogue: MH01/MH03-05/V1_2-3, where SLAM beats VO by 2-12x).",
