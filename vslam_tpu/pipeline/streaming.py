@@ -871,6 +871,9 @@ class StreamingSLAM(StreamingVO):
         self._group_i += 1
         if prev is None:
             return
+        if self._lost_mode:
+            return  # the caller's synchronous poll supersedes the lagged
+            # path (consuming the stale blob here would just double-pay)
         if not force and self._group_i % self._consume_stride:
             return  # not due: newest blob stays stashed (lag-1 freshness)
         import time as _time
