@@ -417,6 +417,11 @@ def bench_full_slam(em: Emitter, num_frames: int = 288,
             "reloc_diags": slam.reloc_diags,
             "loop_stats": dict(slam.loop_stats),
             "closure_stage_s": slam.closure_stats,
+            # where the recovery/closure machinery's wall time went
+            # (poll_fetch / detect / sim3 / verify / pose_graph /
+            # gba_dispatch / gba_merge), seconds summed over the run
+            "loop_timings_s": {k: round(v, 3)
+                               for k, v in slam.loop_timings.items()},
         })
         fps_list = sorted(r["fps"] for r in run_records)
         em.emit_detail(full_slam_run_diags=run_diags,
